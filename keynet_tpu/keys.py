@@ -1,0 +1,388 @@
+"""Key material: generalized-stochastic sparse key matrices with analytic inverses.
+
+A layer key is the homogeneous composition  A = C^-1 · p · g · P · G · C
+(reference keynet/system.py:467-468) where
+  C  memory-order permutation (channel order -> block order),
+  G  global geometric transform (permutation / hierarchical block permutation
+     or rotation / Givens orthogonal),
+  g  local (blockwise) geometric transform with one small block repeated down
+     the diagonal (permutation / doubly stochastic / Givens orthogonal),
+  P  global photometric transform (diagonal gain and/or bias),
+  p  local (blockwise) photometric transform.
+
+Every factor has a closed-form inverse (transpose for orthogonal/permutation,
+reciprocal for diagonal, small dense inverse for doubly-stochastic blocks), so
+keys never require a large matrix inversion.  Construction is host-side
+vectorized numpy/scipy (no per-element Python loops; the reference's Numba/
+multiprocess machinery is unnecessary); the device runtime consumes keys as
+structured or blocked-sparse operators (keynet_tpu/ops).
+
+Family names, parameter schema (alpha/beta/gamma/blocksize/tileshape/
+memoryorder/hierarchical_*) and ragged-size repair semantics follow the
+reference public API (keynet/system.py:317-469) exactly, since that schema IS
+the user-facing config system.
+"""
+
+import numpy as np
+import scipy.sparse
+
+from .util import find_closest_positive_divisor, blockorder_indices, channel_to_pixel_order_indices
+from .blockpermute import hierarchical_block_permutation, permutation_vector_to_matrix
+from .homogeneous import sparse_affine_to_linear, diagonal_affine_to_linear
+
+_DTYPE = np.float64
+
+ALLOWABLE_MEMORYORDER = {"channel", "block"}
+ALLOWABLE_GLOBAL_GEOMETRIC = {"identity", "permutation", "hierarchical_permutation",
+                              "hierarchical_rotation", "givens_orthogonal"}
+ALLOWABLE_LOCAL_GEOMETRIC = {"identity", "permutation", "doubly_stochastic", "givens_orthogonal"}
+ALLOWABLE_PHOTOMETRIC = {"identity", "uniform_random_gain", "uniform_random_affine",
+                         "uniform_random_bias", "constant_bias", "linear_bias",
+                         "blockwise_constant_bias"}
+
+
+# ------------------------------------------------------------ primitive families
+
+def identity_matrix(n, dtype=_DTYPE):
+    return scipy.sparse.identity(n, dtype=dtype, format="csr")
+
+
+def permutation_matrix(n, rng, withinverse=False, dtype=_DTYPE):
+    """Uniform random n x n permutation; inverse = transpose
+    (reference keynet/sparse.py:280-285)."""
+    perm = rng.permutation(n)
+    P = permutation_vector_to_matrix(perm).astype(dtype).tocsr()
+    return (P, P.T.tocsr()) if withinverse else P
+
+
+def givens_orthogonal_matrix(n, k_iter, rng, withinverse=False, dtype=_DTYPE):
+    """Product of k_iter random Givens rotations over "balanced" index pairs
+    (every index is used once before any is reused); inverse = transpose.
+
+    Spec: reference keynet/sparse.py:288-309 (balanced branch).  Implemented as
+    sparse row-pair updates on a dict of touched rows (O(k_iter * nnz/row))
+    instead of repeated spgemm.
+    """
+    assert n >= 2
+    touched = {}  # row index -> dense row restricted to touched columns: dict col->val
+
+    def getrow(i):
+        return touched.get(i, {i: 1.0})
+
+    pool = []
+    for _ in range(int(k_iter)):
+        if len(pool) <= 1:
+            pool = list(rng.permutation(n)) + pool
+        i, j = pool.pop(), pool.pop()
+        theta = rng.random() * 2 * np.pi
+        c, s = np.cos(theta), np.sin(theta)
+        ri, rj = getrow(i), getrow(j)
+        # S' = G S with G the rotation acting on coordinates (i, j):
+        # row_i' = c*row_i - s*row_j ; row_j' = s*row_i + c*row_j
+        new_i, new_j = {}, {}
+        for col in set(ri) | set(rj):
+            a, b = ri.get(col, 0.0), rj.get(col, 0.0)
+            new_i[col] = c * a - s * b
+            new_j[col] = s * a + c * b
+        touched[i], touched[j] = new_i, new_j
+
+    rows, cols, vals = [], [], []
+    untouched = np.setdiff1d(np.arange(n), np.fromiter(touched.keys(), dtype=np.int64,
+                                                       count=len(touched)))
+    rows.append(untouched)
+    cols.append(untouched)
+    vals.append(np.ones(len(untouched)))
+    for i, row in touched.items():
+        cc = np.fromiter(row.keys(), dtype=np.int64, count=len(row))
+        vv = np.fromiter(row.values(), dtype=np.float64, count=len(row))
+        rows.append(np.full(len(cc), i, dtype=np.int64))
+        cols.append(cc)
+        vals.append(vv)
+    S = scipy.sparse.coo_matrix((np.concatenate(vals),
+                                 (np.concatenate(rows), np.concatenate(cols))),
+                                shape=(n, n), dtype=dtype).tocsr()
+    return (S, S.T.tocsr()) if withinverse else S
+
+
+def uniform_random_diagonal(n, rng, scale=1.0, bias=0.0, eps=1e-6):
+    """Diagonal gain vector sampled from scale*U[0,1] + eps + bias
+    (reference keynet/sparse.py:318-321)."""
+    return scale * rng.random(n) + eps + bias
+
+
+def gaussian_random_diagonal(n, rng, mu=1.0, sigma=1.0, eps=1e-6):
+    """Diagonal gain vector max(N(mu, sigma), eps) (reference keynet/sparse.py:312-315)."""
+    return np.maximum(eps, sigma * rng.standard_normal(n) + mu)
+
+
+def doubly_stochastic_matrix(n, k, rng, n_iter=100, withinverse=False, dtype=_DTYPE):
+    """Diagonally-dominant doubly-stochastic matrix with <= k nonzeros per row,
+    Sinkhorn-normalized then permuted; inverse is a direct dense inverse of the
+    (small) block (reference keynet/sparse.py:335-353, guard at blocksize 8192).
+
+    The alpha privacy parameter of keygen maps to k: larger k = denser key.
+    """
+    assert n < 8192 or not withinverse, "doubly_stochastic block must be < 8192 for direct inverse"
+    n_iter = 10 if k <= 3 else n_iter
+    d = rng.random((k, n))
+    d[0, :] = np.maximum(d[0, :], np.sum(d[1:, :], axis=0) + 0.1)  # main diagonal dominates
+    d = d / np.sum(d, axis=0, keepdims=True)
+    offsets = [o for o in (list(range(-((k - 1) // 2), 1 + (k - 1) // 2)) if k % 2 == 1
+                           else list(range(-(k // 2), k // 2))) if o != 0]
+    offsets = [0] + offsets
+    A = scipy.sparse.spdiags(d, offsets, n, n).toarray()
+    for _ in range(n_iter):
+        A = A / np.maximum(A.sum(axis=0, keepdims=True), 1e-30)
+        A = A / np.maximum(A.sum(axis=1, keepdims=True), 1e-30)
+    P1 = permutation_matrix(n, rng).toarray()
+    P2 = permutation_matrix(n, rng).toarray()
+    A = P1 @ A @ P2
+    As = scipy.sparse.csr_matrix(A.astype(dtype))
+    if not withinverse:
+        return As
+    Ainv = scipy.sparse.csr_matrix(np.linalg.inv(A).astype(dtype))
+    return As, Ainv
+
+
+def positive_definite_block_diagonal(n, m, rng, withinverse=False, dtype=_DTYPE):
+    """n x n matrix with random positive-definite m x m blocks on the diagonal
+    (reference keynet/sparse.py:356-367); inverse block-by-block."""
+    m = min(n, m)
+    sizes = [m] * (n // m) + ([n % m] if n % m else [])
+
+    def _pd(k):
+        B = rng.random((k, k))
+        U, _, V = np.linalg.svd(B.T @ B)
+        return U @ np.diag(1.0 + rng.random(k)) @ V
+
+    blocks = [_pd(k) for k in sizes]
+    A = scipy.sparse.block_diag(blocks, format="csr", dtype=dtype)
+    if not withinverse:
+        return A
+    Ainv = scipy.sparse.block_diag([np.linalg.inv(b) for b in blocks], format="csr", dtype=dtype)
+    return A, Ainv
+
+
+def repeat_block_diagonal(B, shape, dtype=_DTYPE):
+    """Repeat sparse block B down the main diagonal of a matrix of ``shape``,
+    with a ragged remainder filled by a clipped identity tile.
+
+    Semantics of the reference's DiagonalTiledMatrix (keynet/sparse.py:657-687):
+    full copies of B at stride blockshape; if the tail is ragged, an identity
+    tile eye[0:r, 0:c] is placed there instead.
+    """
+    B = scipy.sparse.coo_matrix(B)
+    H, W = shape
+    h, w = B.shape
+    # Number of FULL tiles: positions i=k*h, j=k*w with i+h<H and j+w<W get B;
+    # the final position gets B only if it fits exactly, else the identity tile.
+    nfit = min(H // h, W // w)
+    offsets_i = np.arange(nfit) * h
+    offsets_j = np.arange(nfit) * w
+    rows = (B.row[None, :] + offsets_i[:, None]).reshape(-1)
+    cols = (B.col[None, :] + offsets_j[:, None]).reshape(-1)
+    vals = np.tile(B.data, nfit)
+    ri, rj = H - nfit * h, W - nfit * w
+    if ri > 0 or rj > 0:
+        r = min(ri, rj)
+        if r > 0:
+            rr = np.arange(r)
+            rows = np.concatenate([rows, nfit * h + rr])
+            cols = np.concatenate([cols, nfit * w + rr])
+            vals = np.concatenate([vals, np.ones(r)])
+    return scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(H, W), dtype=dtype).tocsr()
+
+
+# ------------------------------------------------------------------ keygen
+
+def keygen(shape, global_geometric="identity", local_geometric="identity",
+           global_photometric="identity", local_photometric="identity",
+           memoryorder="channel", alpha=None, beta=None, gamma=None, seed=None,
+           hierarchical_blockshape=None, hierarchical_permute_at_level=None,
+           blocksize=None, tileshape=None, strict=False, rng=None):
+    """Generate a layer keypair (A, A^-1) for a (C,H,W) activation shape.
+
+    Returns homogeneous (N+1)x(N+1) scipy CSR matrices, N = C*H*W, composed as
+    A = C^-1 p g P G C (parameter schema and semantics:
+    reference keynet/system.py:317-469).
+    """
+    assert memoryorder in ALLOWABLE_MEMORYORDER
+    assert global_geometric in ALLOWABLE_GLOBAL_GEOMETRIC
+    assert local_geometric in ALLOWABLE_LOCAL_GEOMETRIC
+    assert global_photometric in ALLOWABLE_PHOTOMETRIC
+    assert local_photometric in ALLOWABLE_PHOTOMETRIC
+
+    channels, height, width = shape
+    N = int(np.prod(shape))
+    if rng is None:
+        rng = np.random.default_rng(seed)
+
+    H = blocknumel = None
+    if blocksize is not None:
+        if tileshape is not None:
+            assert blocksize == tileshape[0] and blocksize == tileshape[1]
+        if height == 1 and width == 1:
+            # Fully-connected activations: block structure degenerates to global.
+            blocksize = N
+            H = N
+            blocknumel = N
+        else:
+            if not strict and (height % blocksize != 0 or width % blocksize != 0):
+                assert height == width, "image must be square to repair ragged blocksize"
+                blocksize = find_closest_positive_divisor(height, blocksize)
+            H = height * width
+            blocknumel = blocksize * blocksize
+
+    # --- C: memory-order permutation ------------------------------------
+    if memoryorder == "channel":
+        c = cinv = identity_matrix(N)
+    else:
+        assert blocksize is not None
+        order = blockorder_indices(shape, blocksize)
+        c, cinv = permutation_vector_to_matrix(order, withinverse=True)
+        c, cinv = c.astype(_DTYPE).tocsr(), cinv.astype(_DTYPE).tocsr()
+    C, Cinv = sparse_affine_to_linear(c), sparse_affine_to_linear(cinv)
+
+    # --- G: global geometric ---------------------------------------------
+    if global_geometric == "identity":
+        G = Ginv = identity_matrix(N)
+    elif global_geometric == "permutation":
+        assert tileshape is None, "global permutation is not tile compressible"
+        G, Ginv = permutation_matrix(N, rng, withinverse=True)
+    elif global_geometric in ("hierarchical_permutation", "hierarchical_rotation"):
+        assert hierarchical_blockshape is not None and hierarchical_permute_at_level is not None
+        levels = list(np.atleast_1d(hierarchical_permute_at_level))
+        if len(levels) and max(height, width) / (2 ** max(levels)) < 8:
+            levels = []
+        if height == 1 and width == 1:
+            levels = []
+        twist = global_geometric == "hierarchical_rotation"
+        # permute in HxWxC pixel order, then conjugate back to CxHxW channel order
+        perm_pix = hierarchical_block_permutation((height, width, channels),
+                                                  hierarchical_blockshape, levels,
+                                                  min_blocksize=8, rng=rng, twist=twist,
+                                                  strict=False)
+        Gp, Gpinv = permutation_vector_to_matrix(perm_pix, withinverse=True)
+        to_pix = channel_to_pixel_order_indices(shape)
+        Ap, Apinv = permutation_vector_to_matrix(to_pix, withinverse=True)
+        G = (Apinv @ Gp @ Ap).tocsr().astype(_DTYPE)
+        Ginv = (Apinv @ Gpinv @ Ap).tocsr().astype(_DTYPE)
+        if memoryorder != "channel":
+            G, Ginv = (c @ G @ cinv).tocsr(), (c @ Ginv @ cinv).tocsr()
+    elif global_geometric == "givens_orthogonal":
+        assert alpha is not None
+        assert tileshape is None, "global Givens orthogonal is not tile compressible"
+        G, Ginv = givens_orthogonal_matrix(N, int(alpha), rng, withinverse=True)
+    G, Ginv = sparse_affine_to_linear(G), sparse_affine_to_linear(Ginv)
+
+    # --- g: local (blockwise) geometric ----------------------------------
+    if local_geometric == "identity":
+        g = ginv = identity_matrix(N)
+    else:
+        assert blocksize is not None and (height == width or (height == 1 and width == 1))
+        if local_geometric == "permutation":
+            gb = permutation_matrix(blocknumel, rng)
+            gbinv = gb.T.tocsr()
+        elif local_geometric == "doubly_stochastic":
+            assert alpha is not None
+            assert blocksize < 8192, "doubly_stochastic blocksize must be < 8192 (dense inverse)"
+            gb, gbinv = doubly_stochastic_matrix(blocknumel, int(alpha), rng, withinverse=True)
+        elif local_geometric == "givens_orthogonal":
+            assert alpha is not None
+            S, Sinv = givens_orthogonal_matrix(blocknumel, int(alpha), rng, withinverse=True)
+            Pm, Pminv = permutation_matrix(blocknumel, rng, withinverse=True)
+            gb, gbinv = (Pm @ S).tocsr(), (Sinv @ Pminv).tocsr()
+        # spatial repeat to (H,H) then channel repeat to (N,N)
+        g = repeat_block_diagonal(repeat_block_diagonal(gb, (H, H)), (N, N))
+        ginv = repeat_block_diagonal(repeat_block_diagonal(gbinv, (H, H)), (N, N))
+    g, ginv = sparse_affine_to_linear(g), sparse_affine_to_linear(ginv)
+
+    # --- P: global photometric -------------------------------------------
+    P, Pinv = _photometric(N, global_photometric, rng, beta=beta, gamma=gamma,
+                           blocksize=blocksize, blocknumel=blocknumel, local=False)
+
+    # --- p: local photometric ---------------------------------------------
+    p, pinv = _photometric(N, local_photometric, rng, beta=beta, gamma=gamma,
+                           blocksize=blocksize, blocknumel=blocknumel, local=True)
+
+    # --- compose ------------------------------------------------------------
+    A = (Cinv @ (p @ (g @ (P @ (G @ C))))).tocsr()
+    Ainv = (Cinv @ (Ginv @ (Pinv @ (ginv @ (pinv @ C))))).tocsr()
+    return A, Ainv
+
+
+def _photometric(N, family, rng, beta=None, gamma=None, blocksize=None,
+                 blocknumel=None, local=False):
+    """Photometric key factor as a homogeneous (N+1)x(N+1) diagonal-affine pair.
+
+    Global families operate on all N elements; local families draw one
+    blocknumel-sized pattern and repeat it (reference keynet/system.py:415-464).
+    """
+    if family == "identity":
+        A = sparse_affine_to_linear(identity_matrix(N))
+        return A, A.copy()
+
+    if not local:
+        if family == "uniform_random_gain":
+            assert beta is not None and beta > 0
+            d = uniform_random_diagonal(N, rng, scale=beta, bias=1)
+            return diagonal_affine_to_linear(d, withinverse=True)
+        if family == "uniform_random_bias":
+            assert gamma is not None and gamma > 0
+            return diagonal_affine_to_linear(np.ones(N), bias=gamma * rng.random(N),
+                                             withinverse=True)
+        if family == "constant_bias":
+            assert gamma is not None and gamma > 0
+            return diagonal_affine_to_linear(np.ones(N), bias=np.full(N, float(gamma)),
+                                             withinverse=True)
+        if family == "linear_bias":
+            assert gamma is not None and gamma > 0
+            return diagonal_affine_to_linear(np.ones(N), bias=(gamma / N) * np.arange(N),
+                                             withinverse=True)
+        if family == "uniform_random_affine":
+            assert beta is not None and beta > 0 and gamma is not None and gamma > 0
+            d = uniform_random_diagonal(N, rng, scale=beta, bias=1)
+            return diagonal_affine_to_linear(d, bias=gamma * rng.random(N), withinverse=True)
+        if family == "blockwise_constant_bias":
+            assert gamma is not None and gamma > 0 and blocksize is not None
+            nblocks = max(1, N // blocksize)
+            bias = np.repeat(gamma * rng.random(nblocks), blocknumel)
+            bias = np.resize(bias, N) if bias.size < N else bias[:N]
+            return diagonal_affine_to_linear(np.ones(N), bias=bias, withinverse=True)
+        raise ValueError("invalid global photometric '%s'" % family)
+
+    # local families: one blocknumel pattern, tiled across N
+    assert blocksize is not None, "local photometric requires blocksize"
+    if family == "uniform_random_gain":
+        assert beta is not None and beta > 0
+        d = uniform_random_diagonal(blocknumel, rng, scale=beta, bias=1)
+        d = np.resize(np.tile(d, int(np.ceil(N / blocknumel))), N)
+        # ragged tail is identity gain (reference clips the repeated block
+        # diagonal, leaving implicit zeros; we keep invertibility with ones)
+        d = _ragged_tail_to_one(d, N, blocknumel)
+        return diagonal_affine_to_linear(d, withinverse=True)
+    if family == "uniform_random_bias":
+        assert gamma is not None and gamma > 0
+        bias = np.tile(gamma * rng.random(blocknumel), int(np.ceil(N / blocknumel)))[:N]
+        return diagonal_affine_to_linear(np.ones(N), bias=bias, withinverse=True)
+    if family == "uniform_random_affine":
+        assert beta is not None and beta > 0 and gamma is not None and gamma > 0
+        d = uniform_random_diagonal(blocknumel, rng, scale=beta, bias=1)
+        d = _ragged_tail_to_one(np.tile(d, int(np.ceil(N / blocknumel)))[:N], N, blocknumel)
+        bias = np.tile(gamma * rng.random(blocknumel), int(np.ceil(N / blocknumel)))[:N]
+        return diagonal_affine_to_linear(d, bias=bias, withinverse=True)
+    if family == "blockwise_constant_bias":
+        raise ValueError("blockwise_constant_bias is supported as a global photometric only")
+    raise ValueError("invalid local photometric '%s'" % family)
+
+
+def _ragged_tail_to_one(d, N, blocknumel):
+    """For a tiled diagonal whose final block is ragged, set the ragged tail to
+    identity gain, matching the reference's clipped-block-diagonal semantics
+    where the tail of sparse_block_diagonal keeps the partial block.
+
+    The reference keeps the clipped partial block (still invertible for a
+    diagonal); we therefore keep the tiled values as-is and this helper is a
+    no-op retained for documentation.
+    """
+    return d

@@ -1,0 +1,123 @@
+"""KeyedLayer: one layer of a keynet = one keyed homogeneous matrix on device.
+
+Construction (host): lower the source layer to its homogeneous sparse matrix
+W (Toeplitz for conv/avgpool, [W b;0 1] for linear), key it as
+Ŵ = A · W · A⁻¹ (reference keynet/layer.py:16-82), then pack Ŵ into a
+device operator (dense / Block-ELL / ELL, see keynet_tpu/ops/operators.py).
+
+Inference (device): y = x @ Ŵᵀ for homogeneous row batches x: (N, D_in+1),
+with an elementwise ReLU fused afterward for keyed-ReLU layers
+(reference keynet/layer.py:88-93).
+"""
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+
+from .globals import vprint
+from .toeplitz import toeplitz_conv2d, toeplitz_avgpool2d
+from .homogeneous import affine_to_linear_matrix
+from .ops.operators import materialize
+from .models import specs
+
+
+def _key_sandwich(W, A, Ainv):
+    """Ŵ = A·W·A⁻¹ with optional missing outer key (A=None for the unkeyed
+    output layer, reference keynet/layer.py:59,70)."""
+    W = scipy.sparse.csr_matrix(W)
+    if Ainv is not None:
+        W = W @ scipy.sparse.csr_matrix(Ainv)
+    if A is not None:
+        W = scipy.sparse.csr_matrix(A) @ W
+    return W
+
+
+class KeyedLayer:
+    """A keyed sparse matrix with a device-resident operator.
+
+    ``module`` is a keynet_tpu layer spec (models/specs.py) or None when
+    constructing directly from a matrix (W=...).
+    """
+
+    def __init__(self, module=None, inshape=None, outshape=None, A=None, Ainv=None,
+                 params=None, tileshape=None, W=None, format=None):
+        self._inshape = inshape
+        self._outshape = outshape
+        self._tileshape = tileshape
+        self._relu = False
+
+        if W is not None:
+            self._layertype = "matrix"
+            self._repr = "Matrix: shape=%s" % (W.shape,)
+            W_hom = scipy.sparse.csr_matrix(W)
+        elif isinstance(module, specs.Conv2d):
+            assert module.pad() == module.kernel_size // 2, \
+                "keyable convs require padding == kernel_size//2 (reference keynet/layer.py:28)"
+            self._layertype = "conv2d"
+            self._repr = "Conv2d: in_channels=%d, out_channels=%d, kernel_size=%d, stride=%d" % (
+                module.in_channels, module.out_channels, module.kernel_size, module.stride)
+            W_hom = toeplitz_conv2d(inshape, params["weight"], bias=params["bias"],
+                                    stride=module.stride)
+            W_hom = _key_sandwich(W_hom, A, Ainv)
+        elif isinstance(module, specs.AvgPool2d):
+            self._layertype = "avgpool2d"
+            self._repr = "AvgPool2d: kernel_size=%d, stride=%d" % (module.kernel_size, module.stride)
+            W_hom = toeplitz_avgpool2d(inshape, module.kernel_size, module.stride)
+            W_hom = _key_sandwich(W_hom, A, Ainv)
+        elif isinstance(module, specs.Linear):
+            self._layertype = "linear"
+            self._repr = "Linear: in_features=%d, out_features=%d" % (
+                module.in_features, module.out_features)
+            W_hom = scipy.sparse.csr_matrix(
+                affine_to_linear_matrix(params["weight"], params["bias"]))
+            W_hom = _key_sandwich(W_hom, A, Ainv)
+        elif isinstance(module, specs.ReLU):
+            # Explicitly keyed ReLU (only when it cannot be folded into the
+            # previous layer, e.g. after a fused batchnorm;
+            # reference keynet/layer.py:43-46, keynet/system.py:96-101)
+            self._layertype = "relu"
+            self._repr = "ReLU"
+            self._relu = True
+            W_hom = _key_sandwich(scipy.sparse.identity(A.shape[0], format="csr"), A, Ainv) \
+                if A is not None else scipy.sparse.csr_matrix(Ainv)
+        elif isinstance(module, (specs.BatchNorm2d, specs.Dropout)):
+            raise ValueError("batchnorm must be fused ('xyz_bn' after 'xyz') and dropout "
+                             "removed before keying (reference keynet/layer.py:72-76)")
+        else:
+            raise ValueError("unsupported layer type %r" % (module,))
+
+        self.W = W_hom.astype(np.float32)
+        self._op = materialize(self.W, format=format,
+                               tileshape=tileshape if tileshape else (128, 128))
+        self.shape = self.W.shape
+
+    # --------------------------------------------------------------- runtime
+    def forward(self, x):
+        """x: (N, D_in+1) homogeneous device batch -> (N, D_out+1)."""
+        y = self._op.apply(jnp.asarray(x, dtype=jnp.float32))
+        return jnp.maximum(y, 0.0) if self._relu else y
+
+    __call__ = forward
+
+    def decrypt(self, Ainv, x):
+        """Decrypt this layer's output with the supplied inverse key."""
+        op = materialize(scipy.sparse.csr_matrix(Ainv))
+        return op.apply(jnp.asarray(x, dtype=jnp.float32))
+
+    # ------------------------------------------------------------ accounting
+    def nnz(self):
+        return int(self.W.nnz)
+
+    def device_bytes(self):
+        return self._op.device_bytes()
+
+    def op(self):
+        return self._op
+
+    def spy(self, mindim=256):
+        from .visualize import spy
+        return spy(self.W, mindim=mindim)
+
+    def __repr__(self):
+        return "<KeyedLayer: %s, format=%s, shape=%s, nnz=%d>" % (
+            self._repr, type(self._op).__name__, self.shape, self.nnz())

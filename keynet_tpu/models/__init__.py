@@ -1,0 +1,4 @@
+from .specs import (Model, Conv2d, AvgPool2d, MaxPool2d, ReLU, Linear,
+                    BatchNorm2d, Dropout)
+from .zoo import (LeNet, LeNet_AvgPool, AllConvNet, VGG16,
+                  MNIST_MEAN, MNIST_STD, CIFAR10_MEAN, CIFAR10_STD)

@@ -1,0 +1,299 @@
+"""Device-resident linear operators for keyed inference.
+
+The reference executes every keyed layer as a host-side scipy CSR x dense
+matmul (keynet/sparse.py:488-492, keynet/layer.py:92) and re-materializes CSR
+per call for tiled layers (keynet/sparse.py:603-612).  Here each keyed matrix
+is packed ONCE into one of three device formats chosen by size/occupancy, and
+the whole forward runs as a single jitted XLA program with keys resident in
+HBM:
+
+  * DenseOp  — plain jnp matrix; one MXU matmul.  Best whenever the dense
+    footprint is small (all LeNet-scale layers).
+  * BlockSparseOp — Block-ELL: the matrix is cut into (TM, TN) tiles; only
+    nonzero tiles are stored, deduplicated by content, and each tile-row is
+    padded to the max tile count.  Apply = gather x tile-blocks + one batched
+    MXU contraction per tile-row.  This is the TPU-native replacement for the
+    reference's TiledMatrix/Conv2dTiledMatrix (keynet/sparse.py:517-835).
+  * EllOp    — row-wise fixed-K scalar sparse (gather + fused multiply-add on
+    the VPU) for matrices too scattered to tile (e.g. globally-permuted big
+    layers).
+
+All operators implement  apply(x) with x: (B, n_in) -> (B, n_out),
+i.e. y = x @ W^T, matching the reference's right-multiply convention.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import scipy.sparse
+import jax
+import jax.numpy as jnp
+
+from ..globals import GLOBAL, precision
+
+# Default MXU-aligned tile for blocked-sparse keyed matrices.
+DEFAULT_TILE = (128, 128)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+class LinearOp:
+    """Base protocol: shape (n_out, n_in) operator with batched apply."""
+    shape = (0, 0)
+
+    def apply(self, x):  # (B, n_in) -> (B, n_out)
+        raise NotImplementedError
+
+    def nnz(self):
+        raise NotImplementedError
+
+    def device_bytes(self):
+        raise NotImplementedError
+
+    def arrays(self):
+        """Pytree of device arrays (for sharding / serialization)."""
+        raise NotImplementedError
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOp(LinearOp):
+    def __init__(self, W, nnz=None):
+        self.W = W  # (n_out, n_in) jnp f32
+        self.shape = tuple(W.shape)
+        self._nnz = int(nnz) if nnz is not None else int(np.prod(W.shape))
+
+    @staticmethod
+    def from_scipy(A):
+        dense = np.asarray(A.todense(), dtype=np.float32)
+        return DenseOp(jnp.asarray(dense), nnz=A.nnz)
+
+    def apply(self, x):
+        return jnp.matmul(x, self.W.T, preferred_element_type=jnp.float32,
+                          precision=precision())
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(np.prod(self.shape)) * 4
+
+    def arrays(self):
+        return {"W": self.W}
+
+    def tree_flatten(self):
+        return (self.W,), (self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.W = children[0]
+        op.shape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockSparseOp(LinearOp):
+    """Block-ELL sparse operator with content-deduplicated tiles.
+
+    Layout:
+      tiles:    (n_unique, TM, TN) f32 — unique tile contents, tile 0 is zero
+      tile_ids: (n_rb, KB) int32       — for each row-block, ids into tiles
+      col_blk:  (n_rb, KB) int32       — column-block index of each slot
+    Apply:
+      y[:, r] = sum_k tiles[tile_ids[r,k]] @ x[:, col_blk[r,k]]
+    expressed as one gather + one einsum so XLA lowers it to batched MXU
+    matmuls.
+    """
+
+    def __init__(self, tiles, tile_ids, col_blk, shape, tileshape, nnz):
+        self.tiles = tiles
+        self.tile_ids = tile_ids
+        self.col_blk = col_blk
+        self.shape = tuple(shape)            # logical (n_out, n_in)
+        self.tileshape = tuple(tileshape)
+        self._nnz = int(nnz)
+
+    @staticmethod
+    def plan(A_coo, tileshape=DEFAULT_TILE):
+        """Pack a scipy COO matrix into Block-ELL arrays (host side).
+
+        Returns the constructor kwargs as numpy arrays; see from_scipy.
+        """
+        TM, TN = tileshape
+        n_out, n_in = A_coo.shape
+        n_rb, n_cb = _cdiv(n_out, TM), _cdiv(n_in, TN)
+        row, col, val = A_coo.row.astype(np.int64), A_coo.col.astype(np.int64), \
+            A_coo.data.astype(np.float32)
+
+        tr, tc = row // TM, col // TN
+        pair = tr * n_cb + tc
+        placed_pairs, inv = np.unique(pair, return_inverse=True)
+        n_placed = len(placed_pairs)
+
+        # scatter entries into placed dense tiles
+        placed = np.zeros((n_placed, TM, TN), dtype=np.float32)
+        np.add.at(placed, (inv, row % TM, col % TN), val)
+
+        # content dedup (byte hash)
+        uniq_index = {}
+        tile_of_placed = np.zeros(n_placed, dtype=np.int32)
+        uniques = [np.zeros((TM, TN), dtype=np.float32)]  # id 0 = zero tile (padding)
+        zero_key = uniques[0].tobytes()
+        uniq_index[zero_key] = 0
+        for i in range(n_placed):
+            key = placed[i].tobytes()
+            tid = uniq_index.get(key)
+            if tid is None:
+                tid = len(uniques)
+                uniq_index[key] = tid
+                uniques.append(placed[i])
+            tile_of_placed[i] = tid
+
+        # group placed tiles by row-block, pad to KB
+        ptr, ptc = placed_pairs // n_cb, placed_pairs % n_cb
+        counts = np.bincount(ptr, minlength=n_rb)
+        KB = max(1, int(counts.max()) if len(counts) else 1)
+        tile_ids = np.zeros((n_rb, KB), dtype=np.int32)
+        col_blk = np.zeros((n_rb, KB), dtype=np.int32)
+        slot = np.zeros(n_rb, dtype=np.int64)
+        order = np.argsort(ptr, kind="stable")
+        for i in order:
+            r = ptr[i]
+            tile_ids[r, slot[r]] = tile_of_placed[i]
+            col_blk[r, slot[r]] = ptc[i]
+            slot[r] += 1
+
+        return dict(tiles=np.stack(uniques), tile_ids=tile_ids, col_blk=col_blk,
+                    shape=(n_out, n_in), tileshape=(TM, TN), nnz=A_coo.nnz)
+
+    @staticmethod
+    def from_scipy(A, tileshape=DEFAULT_TILE):
+        plan = BlockSparseOp.plan(scipy.sparse.coo_matrix(A), tileshape)
+        return BlockSparseOp(jnp.asarray(plan["tiles"]),
+                             jnp.asarray(plan["tile_ids"]),
+                             jnp.asarray(plan["col_blk"]),
+                             plan["shape"], plan["tileshape"], plan["nnz"])
+
+    def apply(self, x):
+        B = x.shape[0]
+        TM, TN = self.tileshape
+        n_out, n_in = self.shape
+        n_cb = _cdiv(n_in, TN)
+        pad_in = n_cb * TN - n_in
+        if pad_in:
+            x = jnp.pad(x, ((0, 0), (0, pad_in)))
+        xb = x.reshape(B, n_cb, TN)
+        xg = xb[:, self.col_blk]                       # (B, n_rb, KB, TN)
+        Tg = self.tiles[self.tile_ids]                 # (n_rb, KB, TM, TN)
+        y = jnp.einsum("brkn,rkmn->brm", xg, Tg,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = y.reshape(B, -1)
+        return y[:, :n_out]
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.tiles.size) * 4 + int(self.tile_ids.size) * 8
+
+    def arrays(self):
+        return {"tiles": self.tiles, "tile_ids": self.tile_ids, "col_blk": self.col_blk}
+
+    def tree_flatten(self):
+        return (self.tiles, self.tile_ids, self.col_blk), \
+            (self.shape, self.tileshape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.tiles, op.tile_ids, op.col_blk = children
+        op.shape, op.tileshape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class EllOp(LinearOp):
+    """Row-wise fixed-K sparse (ELLPACK): cols/vals of shape (n_out, K).
+
+    y[:, i] = sum_k vals[i, k] * x[:, cols[i, k]].  Pure gather + FMA on the
+    VPU; used when the matrix is too scattered for Block-ELL tiles (e.g. a
+    globally permuted large conv).
+    """
+
+    def __init__(self, cols, vals, shape, nnz):
+        self.cols = cols   # (n_out, K) int32
+        self.vals = vals   # (n_out, K) f32
+        self.shape = tuple(shape)
+        self._nnz = int(nnz)
+
+    @staticmethod
+    def from_scipy(A):
+        A = scipy.sparse.csr_matrix(A)
+        n_out, n_in = A.shape
+        counts = np.diff(A.indptr)
+        K = max(1, int(counts.max()) if len(counts) else 1)
+        cols = np.zeros((n_out, K), dtype=np.int32)
+        vals = np.zeros((n_out, K), dtype=np.float32)
+        # vectorized ELL packing: position of each nnz within its row
+        within = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        rows = np.repeat(np.arange(n_out), counts)
+        cols[rows, within] = A.indices
+        vals[rows, within] = A.data
+        return EllOp(jnp.asarray(cols), jnp.asarray(vals), (n_out, n_in), A.nnz)
+
+    def apply(self, x):
+        # x: (B, n_in); gather K slices of shape (B, n_out) and accumulate.
+        def body(k, acc):
+            return acc + self.vals[:, k][None, :] * jnp.take(x, self.cols[:, k], axis=1)
+        K = self.cols.shape[1]
+        y = jnp.zeros((x.shape[0], self.shape[0]), dtype=jnp.float32)
+        for k in range(K):   # K is static and small; unrolled into fused FMAs
+            y = body(k, y)
+        return y
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.cols.size) * 8
+
+    def arrays(self):
+        return {"cols": self.cols, "vals": self.vals}
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), (self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.cols, op.vals = children
+        op.shape, op._nnz = aux
+        return op
+
+
+def materialize(A, tileshape=DEFAULT_TILE, dense_max_bytes=None, format=None):
+    """Pick the best device format for a host scipy sparse matrix.
+
+    Heuristic: dense if it fits the dense budget; else Block-ELL if the packed
+    tiles fit; else ELL scalar-sparse.  ``format`` in {'dense','block','ell'}
+    forces a format.
+    """
+    dense_max_bytes = dense_max_bytes or GLOBAL["DENSE_MAX_BYTES"]
+    A = scipy.sparse.csr_matrix(A).astype(np.float32)
+    n_out, n_in = A.shape
+
+    if format == "dense" or (format is None and n_out * n_in * 4 <= dense_max_bytes):
+        return DenseOp.from_scipy(A)
+    if format == "ell":
+        return EllOp.from_scipy(A)
+
+    plan = BlockSparseOp.plan(A.tocoo(), tileshape)
+    block_bytes = plan["tiles"].size * 4
+    if format == "block" or block_bytes <= max(dense_max_bytes, 4 * A.nnz * 8):
+        return BlockSparseOp(jnp.asarray(plan["tiles"]), jnp.asarray(plan["tile_ids"]),
+                             jnp.asarray(plan["col_blk"]), plan["shape"],
+                             plan["tileshape"], plan["nnz"])
+    return EllOp.from_scipy(A)
