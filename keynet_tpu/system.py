@@ -24,6 +24,8 @@ from .ops.operators import materialize
 from .models import specs
 from . import fiberbundle as _fiberbundle
 
+_DEFAULT_KEY = object()  # sentinel: "use the model's embedding key"
+
 
 def fuse_conv2d_and_bn(conv_w, conv_b, bn_mean, bn_var, bn_eps, bn_w, bn_b):
     """Fold an inference-mode batchnorm into the preceding conv's weights
@@ -171,13 +173,13 @@ class KeyedModel:
         self._ops = tuple(ops)
         self._forward = jax.jit(run)
 
-    def forward(self, img_cipher, outkey="default"):
+    def forward(self, img_cipher, outkey=_DEFAULT_KEY):
         """Run the keynet on an encrypted homogeneous batch (N, D+1) and return
         the decrypted affine output reshaped to (N, *outshape) — or the raw
-        cipher embedding when the model is public (no embedding key)."""
+        cipher embedding when no key is supplied/held (public release)."""
         self._build()
         y = self._forward(self._ops, jnp.asarray(img_cipher, dtype=jnp.float32))
-        key = self._embeddingkey if outkey == "default" else outkey
+        key = self._embeddingkey if outkey is _DEFAULT_KEY else outkey
         if key is not None:
             y = self.decrypt(y, key)
         out = linear_to_affine(y, None)
@@ -186,8 +188,8 @@ class KeyedModel:
 
     __call__ = forward
 
-    def decrypt(self, y_cipher, outkey="default"):
-        key = self._embeddingkey if outkey == "default" else outkey
+    def decrypt(self, y_cipher, outkey=_DEFAULT_KEY):
+        key = self._embeddingkey if outkey is _DEFAULT_KEY else outkey
         if key is None:
             return y_cipher
         if key is self._embeddingkey:

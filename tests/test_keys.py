@@ -1,0 +1,134 @@
+"""Key-material invariants: every family must satisfy A·A⁻¹ = I, orthogonal
+families must be orthogonal, stochastic families doubly stochastic, and keygen
+compositions must invert for every configuration (the invertibility self-check
+pattern of reference test/test_sparse.py:25-34 applied across the schema)."""
+
+import numpy as np
+import scipy.sparse
+import pytest
+
+from keynet_tpu import keys
+from keynet_tpu.keys import keygen
+
+
+def _is_identity(A, atol=1e-8):
+    n = A.shape[0]
+    return np.allclose(A.toarray() if scipy.sparse.issparse(A) else A, np.eye(n), atol=atol)
+
+
+def test_permutation_inverse():
+    rng = np.random.default_rng(0)
+    P, Pinv = keys.permutation_matrix(50, rng, withinverse=True)
+    assert _is_identity(P @ Pinv)
+    assert np.allclose(np.asarray(P.sum(axis=0)), 1) and np.allclose(np.asarray(P.sum(axis=1)), 1)
+
+
+@pytest.mark.parametrize("n,k", [(16, 4), (64, 40), (10, 3)])
+def test_givens_orthogonal(n, k):
+    rng = np.random.default_rng(1)
+    S, Sinv = keys.givens_orthogonal_matrix(n, k, rng, withinverse=True)
+    assert _is_identity(S @ Sinv, atol=1e-9)
+    assert _is_identity(S @ S.T, atol=1e-9)  # orthogonality
+
+
+@pytest.mark.parametrize("n,k", [(49, 2), (64, 5)])
+def test_doubly_stochastic(n, k):
+    rng = np.random.default_rng(2)
+    A, Ainv = keys.doubly_stochastic_matrix(n, k, rng, withinverse=True)
+    assert _is_identity((A @ Ainv), atol=1e-6)
+    D = A.toarray()
+    # rows are exactly normalized; columns only approximately for the k<=3
+    # short-Sinkhorn fast path (the reference uses n_iter=10 there too,
+    # keynet/sparse.py:339)
+    assert np.allclose(D.sum(axis=1), 1, atol=1e-6)
+    assert np.allclose(D.sum(axis=0), 1, atol=0.5)
+    counts = np.diff(A.tocsr().indptr)
+    assert counts.max() <= k
+
+
+def test_doubly_stochastic_converged():
+    rng = np.random.default_rng(6)
+    A, _ = keys.doubly_stochastic_matrix(32, 5, rng, n_iter=400, withinverse=True)
+    D = A.toarray()
+    assert np.allclose(D.sum(axis=0), 1, atol=1e-3)
+    assert np.allclose(D.sum(axis=1), 1, atol=1e-3)
+    assert D.min() >= 0
+
+
+def test_positive_definite_block_diagonal():
+    rng = np.random.default_rng(3)
+    A, Ainv = keys.positive_definite_block_diagonal(20, 6, rng, withinverse=True)
+    assert _is_identity(A @ Ainv, atol=1e-8)
+
+
+def test_repeat_block_diagonal_ragged():
+    rng = np.random.default_rng(4)
+    B = scipy.sparse.csr_matrix(rng.random((4, 4)))
+    A = keys.repeat_block_diagonal(B, (10, 10))
+    D = A.toarray()
+    assert np.allclose(D[0:4, 0:4], B.toarray())
+    assert np.allclose(D[4:8, 4:8], B.toarray())
+    assert np.allclose(D[8:10, 8:10], np.eye(2))  # ragged remainder is identity
+
+
+KEY_CONFIGS = [
+    dict(),
+    dict(global_geometric="permutation"),
+    dict(global_geometric="givens_orthogonal", alpha=4),
+    dict(global_geometric="hierarchical_permutation", hierarchical_blockshape=(2, 2),
+         hierarchical_permute_at_level=(0, 1)),
+    dict(global_geometric="hierarchical_rotation", hierarchical_blockshape=(2, 2),
+         hierarchical_permute_at_level=(0,)),
+    dict(local_geometric="permutation", blocksize=8),
+    dict(local_geometric="doubly_stochastic", alpha=2, blocksize=8),
+    dict(local_geometric="givens_orthogonal", alpha=4, blocksize=8),
+    dict(global_photometric="uniform_random_gain", beta=1.0),
+    dict(global_photometric="uniform_random_bias", gamma=1.0),
+    dict(global_photometric="uniform_random_affine", beta=1.0, gamma=1.0),
+    dict(global_photometric="constant_bias", gamma=2.0),
+    dict(global_photometric="linear_bias", gamma=2.0),
+    dict(global_photometric="blockwise_constant_bias", gamma=1.0, blocksize=8),
+    dict(local_photometric="uniform_random_gain", beta=1.0, blocksize=8),
+    dict(local_photometric="uniform_random_bias", gamma=1.0, blocksize=8),
+    dict(local_photometric="uniform_random_affine", beta=1.0, gamma=1.0, blocksize=8),
+    dict(memoryorder="block", blocksize=8, global_geometric="permutation"),
+    dict(memoryorder="block", blocksize=8, local_geometric="givens_orthogonal", alpha=2,
+         global_geometric="hierarchical_permutation", hierarchical_blockshape=(2, 2),
+         hierarchical_permute_at_level=(0,), local_photometric="uniform_random_affine",
+         beta=1.0, gamma=1.0),
+]
+
+
+@pytest.mark.parametrize("cfg", KEY_CONFIGS)
+def test_keygen_inverse_identity(cfg):
+    shape = (2, 16, 16)
+    A, Ainv = keygen(shape, seed=5, **cfg)
+    n = int(np.prod(shape)) + 1
+    assert A.shape == (n, n)
+    assert _is_identity(A @ Ainv, atol=1e-6)
+    # keys must leave the homogeneous coordinate fixed
+    e = np.zeros(n)
+    e[-1] = 1.0
+    assert np.allclose(A.T @ e, e)  # last row is [0...0 1]
+
+
+def test_keygen_fc_shape():
+    """height=width=1 degenerates block structure to global (keynet/system.py:332-335)."""
+    A, Ainv = keygen((120, 1, 1), local_geometric="permutation", blocksize=8, seed=0)
+    assert _is_identity(A @ Ainv, atol=1e-8)
+
+
+def test_keygen_ragged_blocksize_repair():
+    """28x28 image with blocksize 8 is repaired to divisor 7 (keynet/system.py:336-343)."""
+    A, Ainv = keygen((1, 28, 28), local_geometric="permutation", blocksize=8, seed=0)
+    assert _is_identity(A @ Ainv, atol=1e-8)
+
+
+def test_keygen_seed_determinism():
+    cfg = dict(global_geometric="permutation", global_photometric="uniform_random_affine",
+               beta=1.0, gamma=1.0)
+    A1, _ = keygen((1, 8, 8), seed=7, **cfg)
+    A2, _ = keygen((1, 8, 8), seed=7, **cfg)
+    A3, _ = keygen((1, 8, 8), seed=8, **cfg)
+    assert (A1 != A2).nnz == 0
+    assert (A1 != A3).nnz > 0
