@@ -171,6 +171,7 @@ class KeyedModel:
             return x
 
         self._ops = tuple(ops)
+        self._forward_fn = run          # un-jitted body (for custom jit/sharding)
         self._forward = jax.jit(run)
 
     def forward(self, img_cipher, outkey=_DEFAULT_KEY):
