@@ -14,10 +14,11 @@ import numpy as np
 import scipy.sparse
 import jax.numpy as jnp
 
-from .globals import vprint
+from .globals import vprint, GLOBAL
 from .toeplitz import toeplitz_conv2d, toeplitz_avgpool2d
 from .homogeneous import affine_to_linear_matrix
-from .ops.operators import materialize
+from .ops.operators import (materialize, DenseOp, EllOp, PermutedBlockSparseOp,
+                            conv_layout_perm, DEFAULT_TILE)
 from .models import specs
 
 
@@ -86,10 +87,40 @@ class KeyedLayer:
         else:
             raise ValueError("unsupported layer type %r" % (module,))
 
-        self.W = W_hom.astype(np.float32)
-        self._op = materialize(self.W, format=format,
-                               tileshape=tileshape if tileshape else (128, 128))
-        self.shape = self.W.shape
+        W_hom = W_hom.astype(np.float32)
+        self.shape = W_hom.shape
+        self._nnz = int(W_hom.nnz)
+        self._op = self._materialize(W_hom, format)
+        # retain the host CSR only when small (spy/serialization/baselines);
+        # big keyed matrices live on device only
+        self.W = W_hom if self._nnz <= GLOBAL.get("KEEP_HOST_NNZ", 50_000_000) else None
+
+    def _materialize(self, W_hom, format):
+        """Pick the device format.  Linear layers are dense by nature; spatial
+        layers (conv/avgpool/keyed-relu) that exceed the dense budget are
+        packed as Block-ELL under the channel-minor pixel-block layout, with
+        ELL scalar-sparse as the scattered-key fallback."""
+        n_out, n_in = W_hom.shape
+        if format is not None:
+            return materialize(W_hom, format=format)
+        if self._layertype == "linear" or n_out * n_in * 4 <= GLOBAL["DENSE_MAX_BYTES"]:
+            return DenseOp.from_scipy(W_hom)
+        spatial = (self._inshape is not None and self._outshape is not None
+                   and len(self._inshape) == 3 and len(self._outshape) == 3
+                   and self._inshape[1] * self._inshape[2] > 1)
+        ell_bytes = 8 * n_out * max(1, int(np.diff(W_hom.indptr).max()))
+        if spatial:
+            perm_in = conv_layout_perm(self._inshape, homogeneous=(n_in == int(
+                np.prod(self._inshape)) + 1))
+            perm_out = conv_layout_perm(self._outshape, homogeneous=(n_out == int(
+                np.prod(self._outshape)) + 1))
+            op = PermutedBlockSparseOp.from_scipy(W_hom, perm_out, perm_in,
+                                                  tileshape=DEFAULT_TILE)
+            if op.device_bytes() <= max(4 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]):
+                return op
+            vprint("[KeyedLayer]: layout-BSR too large (%.0f MB), falling back to ELL"
+                   % (op.device_bytes() / 1e6))
+        return EllOp.from_scipy(W_hom)
 
     # --------------------------------------------------------------- runtime
     def forward(self, x):
@@ -106,7 +137,7 @@ class KeyedLayer:
 
     # ------------------------------------------------------------ accounting
     def nnz(self):
-        return int(self.W.nnz)
+        return self._nnz
 
     def device_bytes(self):
         return self._op.device_bytes()
@@ -116,6 +147,8 @@ class KeyedLayer:
 
     def spy(self, mindim=256):
         from .visualize import spy
+        assert self.W is not None, \
+            "host matrix was dropped (nnz > GLOBAL['KEEP_HOST_NNZ']); raise the cap to spy"
         return spy(self.W, mindim=mindim)
 
     def __repr__(self):

@@ -1,1 +1,2 @@
-from .operators import LinearOp, DenseOp, BlockSparseOp, EllOp, materialize
+from .operators import (LinearOp, DenseOp, BlockSparseOp, EllOp,
+                        PermutedBlockSparseOp, conv_layout_perm, materialize)

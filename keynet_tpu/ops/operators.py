@@ -137,14 +137,15 @@ class BlockSparseOp(LinearOp):
         placed = np.zeros((n_placed, TM, TN), dtype=np.float32)
         np.add.at(placed, (inv, row % TM, col % TN), val)
 
-        # content dedup (byte hash)
+        # content dedup (xxhash over tile bytes; same role as the reference's
+        # sorted-triple hash, keynet/sparse.py:556-568)
+        import xxhash
         uniq_index = {}
         tile_of_placed = np.zeros(n_placed, dtype=np.int32)
         uniques = [np.zeros((TM, TN), dtype=np.float32)]  # id 0 = zero tile (padding)
-        zero_key = uniques[0].tobytes()
-        uniq_index[zero_key] = 0
+        uniq_index[xxhash.xxh3_128_digest(uniques[0].tobytes())] = 0
         for i in range(n_placed):
-            key = placed[i].tobytes()
+            key = xxhash.xxh3_128_digest(placed[i].tobytes())
             tid = uniq_index.get(key)
             if tid is None:
                 tid = len(uniques)
@@ -272,6 +273,86 @@ class EllOp(LinearOp):
         op.cols, op.vals = children
         op.shape, op._nnz = aux
         return op
+
+
+@jax.tree_util.register_pytree_node_class
+class PermutedBlockSparseOp(LinearOp):
+    """Block-ELL over an internal layout permutation: applies
+    y = Pout^T · B · (Pin · x) where B = Ŵ[perm_out][:, perm_in] is packed as
+    a BlockSparseOp.
+
+    Motivation: a keyed conv Toeplitz matrix in channel-major vector order
+    scatters each MXU tile across channels (one 3x3 tap per channel pair), so
+    direct tiling is ~1% dense.  Re-ordering rows/cols to
+    (pixel-block, pixel-within-block, channel) makes each tile a dense
+    channel-matrix block — the layout analog of the reference's
+    channel-broadcast Conv2dTiledMatrix (keynet/sparse.py:690-777) — and the
+    periodic Toeplitz structure then deduplicates almost all interior tiles.
+    The permutations are device gathers, O(N·B) next to the O(N·B·k) matmul.
+    """
+
+    def __init__(self, inner, perm_in, perm_out_pos, shape):
+        self.inner = inner
+        self.perm_in = perm_in            # int32 (n_in,): x_new[j] = x[perm_in[j]]
+        self.perm_out_pos = perm_out_pos  # int32 (n_out,): y[k] = y_new[perm_out_pos[k]]
+        self.shape = tuple(shape)
+
+    @staticmethod
+    def from_scipy(A, perm_out, perm_in, tileshape=DEFAULT_TILE):
+        """perm_out/perm_in: layout vectors (new position -> old index)."""
+        A = scipy.sparse.coo_matrix(A)
+        n_out, n_in = A.shape
+        rpos = np.empty(n_out, dtype=np.int64)
+        rpos[np.asarray(perm_out)] = np.arange(n_out)
+        cpos = np.empty(n_in, dtype=np.int64)
+        cpos[np.asarray(perm_in)] = np.arange(n_in)
+        B = scipy.sparse.coo_matrix((A.data, (rpos[A.row], cpos[A.col])), shape=A.shape)
+        inner = BlockSparseOp.from_scipy(B, tileshape=tileshape)
+        return PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
+                                     jnp.asarray(rpos, dtype=jnp.int32), A.shape)
+
+    def apply(self, x):
+        xp = jnp.take(x, self.perm_in, axis=1)
+        y = self.inner.apply(xp)
+        return jnp.take(y, self.perm_out_pos, axis=1)
+
+    def nnz(self):
+        return self.inner.nnz()
+
+    def device_bytes(self):
+        return self.inner.device_bytes() + int(self.perm_in.size + self.perm_out_pos.size) * 4
+
+    def arrays(self):
+        d = self.inner.arrays()
+        d.update({"perm_in": self.perm_in, "perm_out_pos": self.perm_out_pos})
+        return d
+
+    def tree_flatten(self):
+        return (self.inner, self.perm_in, self.perm_out_pos), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.inner, op.perm_in, op.perm_out_pos = children
+        op.shape, = aux
+        return op
+
+
+def conv_layout_perm(shape_chw, homogeneous=True, target_block_elems=256):
+    """Layout vector (new position -> channel-major index) ordering a (C,H,W)
+    activation as (pixel-block, pixel-within-block, channel) with pixel blocks
+    of ~target_block_elems/C pixels; the trailing homogeneous coordinate stays
+    last.  This is the layout under which keyed-conv matrices tile densely."""
+    from ..util import find_closest_positive_divisor
+    C, H, W = shape_chw
+    npix = max(1, int(round((target_block_elems / max(C, 1)) ** 0.5)))
+    bh = find_closest_positive_divisor(H, min(npix, H)) if H > 1 else 1
+    bw = find_closest_positive_divisor(W, min(npix, W)) if W > 1 else 1
+    idx = np.arange(C * H * W).reshape(C, H, W)
+    lay = idx.reshape(C, H // bh, bh, W // bw, bw).transpose(1, 3, 2, 4, 0).reshape(-1)
+    if homogeneous:
+        lay = np.concatenate([lay, [C * H * W]])
+    return lay
 
 
 def materialize(A, tileshape=DEFAULT_TILE, dense_max_bytes=None, format=None):
