@@ -145,6 +145,19 @@ class KeyedModel:
         self._forward = None  # lazily-built jitted program
         self._embeddingkey_op = None
 
+    @classmethod
+    def from_layers(cls, layers, outshape, imagekey=None, embeddingkey=None):
+        """Assemble a KeyedModel directly from an OrderedDict of KeyedLayer /
+        'relu' entries (deserialization path, e.g. the challenge artifact)."""
+        self = cls.__new__(cls)
+        self._layers = OrderedDict(layers)
+        self._outshape = tuple(outshape)
+        self._imagekey = imagekey
+        self._embeddingkey = embeddingkey
+        self._forward = None
+        self._embeddingkey_op = None
+        return self
+
     # ----------------------------------------------------------------- runtime
     def _build(self):
         if self._forward is not None:
