@@ -12,6 +12,7 @@ GLOBAL = {
     "DTYPE": "float32",  # on-device dtype for keyed matrices
     "DENSE_MAX_BYTES": 256 * 1024 * 1024,  # auto-format threshold: dense below this
     "KEEP_HOST_NNZ": 50_000_000,  # keep host CSR for keyed matrices up to this nnz
+    "USE_PALLAS": "auto",  # Block-ELL matmul kernel: 'auto' (TPU only) | 'always' | 'never'
     # MXU precision for keyed matmuls: 'highest' = true f32 (bit-faithful to the
     # reference's exact-equivalence contract, test_keynet.py:33 atol 1e-5);
     # 'default' = bf16 passes (~4-8x faster, atol ~1e-4 on LeNet-scale).

@@ -233,19 +233,19 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
             H = height * width
             blocknumel = blocksize * blocksize
 
-    # --- C: memory-order permutation ------------------------------------
+    # --- C: memory-order permutation (None = identity, never built) -------
     if memoryorder == "channel":
-        c = cinv = identity_matrix(N)
+        c = cinv = C = Cinv = None
     else:
         assert blocksize is not None
         order = blockorder_indices(shape, blocksize)
         c, cinv = permutation_vector_to_matrix(order, withinverse=True)
         c, cinv = c.astype(_DTYPE).tocsr(), cinv.astype(_DTYPE).tocsr()
-    C, Cinv = sparse_affine_to_linear(c), sparse_affine_to_linear(cinv)
+        C, Cinv = sparse_affine_to_linear(c), sparse_affine_to_linear(cinv)
 
     # --- G: global geometric ---------------------------------------------
     if global_geometric == "identity":
-        G = Ginv = identity_matrix(N)
+        G = Ginv = None
     elif global_geometric == "permutation":
         assert tileshape is None, "global permutation is not tile compressible"
         G, Ginv = permutation_matrix(N, rng, withinverse=True)
@@ -273,11 +273,12 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
         assert alpha is not None
         assert tileshape is None, "global Givens orthogonal is not tile compressible"
         G, Ginv = givens_orthogonal_matrix(N, int(alpha), rng, withinverse=True)
-    G, Ginv = sparse_affine_to_linear(G), sparse_affine_to_linear(Ginv)
+    if G is not None:
+        G, Ginv = sparse_affine_to_linear(G), sparse_affine_to_linear(Ginv)
 
     # --- g: local (blockwise) geometric ----------------------------------
     if local_geometric == "identity":
-        g = ginv = identity_matrix(N)
+        g = ginv = None
     else:
         assert blocksize is not None and (height == width or (height == 1 and width == 1))
         if local_geometric == "permutation":
@@ -295,7 +296,8 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
         # spatial repeat to (H,H) then channel repeat to (N,N)
         g = repeat_block_diagonal(repeat_block_diagonal(gb, (H, H)), (N, N))
         ginv = repeat_block_diagonal(repeat_block_diagonal(gbinv, (H, H)), (N, N))
-    g, ginv = sparse_affine_to_linear(g), sparse_affine_to_linear(ginv)
+    if g is not None:
+        g, ginv = sparse_affine_to_linear(g), sparse_affine_to_linear(ginv)
 
     # --- P: global photometric -------------------------------------------
     P, Pinv = _photometric(N, global_photometric, rng, beta=beta, gamma=gamma,
@@ -305,9 +307,19 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
     p, pinv = _photometric(N, local_photometric, rng, beta=beta, gamma=gamma,
                            blocksize=blocksize, blocknumel=blocknumel, local=True)
 
-    # --- compose ------------------------------------------------------------
-    A = (Cinv @ (p @ (g @ (P @ (G @ C))))).tocsr()
-    Ainv = (Cinv @ (Ginv @ (Pinv @ (ginv @ (pinv @ C))))).tocsr()
+    # --- compose (skipping identity factors: an all-identity key costs O(N),
+    # not five spgemms) --------------------------------------------------------
+    def _compose(factors):
+        out = None
+        for M in factors:
+            if M is None:   # identity factor, never materialized
+                continue
+            out = M if out is None else out @ M
+        return (out if out is not None
+                else sparse_affine_to_linear(identity_matrix(N))).tocsr()
+
+    A = _compose([Cinv, p, g, P, G, C])
+    Ainv = _compose([Cinv, Ginv, Pinv, ginv, pinv, C])
     return A, Ainv
 
 
@@ -319,8 +331,7 @@ def _photometric(N, family, rng, beta=None, gamma=None, blocksize=None,
     blocknumel-sized pattern and repeat it (reference keynet/system.py:415-464).
     """
     if family == "identity":
-        A = sparse_affine_to_linear(identity_matrix(N))
-        return A, A.copy()
+        return None, None
 
     if not local:
         if family == "uniform_random_gain":

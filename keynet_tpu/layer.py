@@ -57,6 +57,22 @@ class KeyedLayer:
             self._layertype = "conv2d"
             self._repr = "Conv2d: in_channels=%d, out_channels=%d, kernel_size=%d, stride=%d" % (
                 module.in_channels, module.out_channels, module.kernel_size, module.stride)
+            pred_nnz = (module.out_channels * module.in_channels * module.kernel_size ** 2
+                        * (inshape[1] // module.stride) * (inshape[2] // module.stride))
+            if pred_nnz > GLOBAL.get("STREAM_NNZ", 120_000_000):
+                # VGG-224 scale: stream strips, never materialize Ŵ
+                from .ops.streaming import keyed_conv_streaming
+                import scipy.sparse as _sp
+                n_out = int(np.prod(outshape)) + 1
+                n_in = int(np.prod(inshape)) + 1
+                A_ = A if A is not None else _sp.identity(n_out, format="csr")
+                Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in, format="csr")
+                self._op = keyed_conv_streaming(inshape, outshape, params["weight"],
+                                                params["bias"], module.stride, A_, Ainv_)
+                self.W = None
+                self.shape = self._op.shape
+                self._nnz = self._op.nnz()
+                return
             W_hom = toeplitz_conv2d(inshape, params["weight"], bias=params["bias"],
                                     stride=module.stride)
             W_hom = _key_sandwich(W_hom, A, Ainv)
@@ -69,9 +85,14 @@ class KeyedLayer:
             self._layertype = "linear"
             self._repr = "Linear: in_features=%d, out_features=%d" % (
                 module.in_features, module.out_features)
-            W_hom = scipy.sparse.csr_matrix(
-                affine_to_linear_matrix(params["weight"], params["bias"]))
-            W_hom = _key_sandwich(W_hom, A, Ainv)
+            # dense fast path: Linear weights are dense, so key with two
+            # sparse·dense products instead of sparse·sparse spgemm
+            Wd = affine_to_linear_matrix(params["weight"], params["bias"])
+            if Ainv is not None:
+                Wd = scipy.sparse.csr_matrix(Ainv).T.dot(Wd.T).T
+            if A is not None:
+                Wd = scipy.sparse.csr_matrix(A).dot(Wd)
+            W_hom = np.ascontiguousarray(Wd)  # stays dense end to end
         elif isinstance(module, specs.ReLU):
             # Explicitly keyed ReLU (only when it cannot be folded into the
             # previous layer, e.g. after a fused batchnorm;
@@ -86,6 +107,16 @@ class KeyedLayer:
                              "removed before keying (reference keynet/layer.py:72-76)")
         else:
             raise ValueError("unsupported layer type %r" % (module,))
+
+        if isinstance(W_hom, np.ndarray):  # dense keyed linear layer
+            W_hom = W_hom.astype(np.float32)
+            self.shape = W_hom.shape
+            self._nnz = int(np.count_nonzero(W_hom))
+            import jax.numpy as _jnp
+            self._op = DenseOp(_jnp.asarray(W_hom), nnz=self._nnz)
+            self.W = scipy.sparse.csr_matrix(W_hom) \
+                if self._nnz <= GLOBAL.get("KEEP_HOST_NNZ", 50_000_000) else None
+            return
 
         W_hom = W_hom.astype(np.float32)
         self.shape = W_hom.shape

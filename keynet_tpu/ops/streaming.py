@@ -1,0 +1,180 @@
+"""Streaming strip-wise emission of keyed conv matrices (VGG-224 scale).
+
+A VGG-16 conv at 3x224x224 lowers to a Toeplitz matrix with ~1e9 nonzeros;
+materializing it (as the reference does, keynet/layer.py:32) needs ~15 GB per
+layer.  But the keyed matrix Ŵ = A·W·A⁻¹ is *periodic* under the spatially
+repeating keys that are usable at this scale (identity / block-local /
+hierarchical block permutations — the reference asserts global keys are "not
+tile compressible", keynet/system.py:360), so almost every MXU tile of the
+layout-permuted Ŵ is a duplicate.
+
+This module therefore never forms Ŵ: it walks the output in strips of layout
+row-blocks (one output pixel-block row per strip), computes
+Ŵ[strip] = A[strip,:] · W[needed] · A⁻¹ with strip-sized scipy products (the
+Toeplitz rows are generated on demand, toeplitz.toeplitz_conv2d_rows), packs
+each strip's tiles into a shared content-deduplicated Block-ELL store, and
+discards the strip.
+
+Periodicity fast path: when the tile pattern of strip s equals that of strip
+s-k shifted by a constant column-block delta (with the homogeneous bias
+column-block pinned in place), twice in a row for the same (k, delta),
+interior strips are *extrapolated* instead of computed.  One randomly chosen
+extrapolated strip is recomputed exactly and compared; any mismatch falls back
+to exact emission of every extrapolated strip — the fast path can only be
+fast, never wrong.
+"""
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+
+from ..globals import vprint
+from ..toeplitz import toeplitz_conv2d_rows
+from .operators import (BlockSparseOp, PermutedBlockSparseOp, StreamingBlockPacker,
+                        conv_layout_perm, conv_layout_blocks, _cdiv)
+
+
+def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
+                         tileshape=(128, 128), strip_rows_target=None,
+                         periodic_fastpath=True, rng=None):
+    """Build PermutedBlockSparseOp for Ŵ = A·toeplitz(weight,bias)·A⁻¹ without
+    materializing Ŵ.  A, A⁻¹: homogeneous scipy CSR keys ((N_out+1)², (N_in+1)²).
+    See the module docstring for the strip/periodicity scheme.
+    """
+    n_out = int(np.prod(outshape)) + 1
+    n_in = int(np.prod(inshape)) + 1
+    A = scipy.sparse.csr_matrix(A)
+    Ainv = scipy.sparse.csr_matrix(Ainv)
+    assert A.shape == (n_out, n_out) and Ainv.shape == (n_in, n_in)
+    rng = rng or np.random.default_rng(0)
+
+    TM, TN = tileshape
+    # Matched layouts: the input pixel block is the output block scaled by
+    # stride, so one output pixel-block row advances exactly one input
+    # pixel-block row — the precondition for a constant column-block shift.
+    bh, bw = conv_layout_blocks(outshape)
+    perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
+    perm_in = conv_layout_perm(inshape, homogeneous=True,
+                               blocks=(bh * stride, bw * stride))
+    cpos = np.empty(n_in, dtype=np.int64)
+    cpos[perm_in] = np.arange(n_in)
+
+    packer = StreamingBlockPacker((n_out, n_in), tileshape)
+    n_rb = _cdiv(n_out, TM)
+
+    # Strip = one output pixel-block row when it covers whole row-blocks,
+    # else an nnz-bounded row count (fast path inactive then).
+    blockrow_rows = (outshape[2] // bw) * (bh * bw * outshape[0])
+    if blockrow_rows % TM == 0 and strip_rows_target is None:
+        rb_per_strip = blockrow_rows // TM
+    else:
+        est_row_nnz = max(1, inshape[0] * weight.shape[2] * weight.shape[3])
+        tgt = strip_rows_target or max(TM, min(400_000, 24_000_000 // est_row_nnz))
+        rb_per_strip = max(1, tgt // TM)
+
+    def compute_strip(rb0, nrb):
+        r0 = rb0 * TM
+        r1 = min(n_out, (rb0 + nrb) * TM)
+        A_strip = A[perm_out[r0:r1]]
+        needed = np.unique(A_strip.indices)
+        W_needed = toeplitz_conv2d_rows(inshape, weight, bias, stride, needed)
+        S = (A_strip[:, needed] @ W_needed @ Ainv).tocoo()
+        packer.add_strip(S.row + r0, cpos[S.col], S.data)
+
+    def pattern_of(rb0, nrb):
+        return [tuple(sorted(packer._rb_slots[rb0 + i])) for i in range(nrb)]
+
+    pinned_cb = packer.n_cb - 1  # homogeneous/bias column block never shifts
+    strips = list(range(0, n_rb, rb_per_strip))
+    n_strips = len(strips)
+    patterns = {}
+    period = delta = None
+    extrapolated = []
+    for i, rb0 in enumerate(strips):
+        nrb = min(rb_per_strip, n_rb - rb0)
+        near_end = i >= n_strips - 2  # bottom boundary + homogeneous row
+        if (periodic_fastpath and period is not None and not near_end
+                and nrb == rb_per_strip and (i - period) >= 0
+                and strips[i - period] == rb0 - period * rb_per_strip):
+            src0 = strips[i - period]
+            for j in range(nrb):
+                packer._rb_slots[rb0 + j] = [
+                    (cb if cb == pinned_cb else cb + delta, tid)
+                    for cb, tid in packer._rb_slots[src0 + j]]
+            extrapolated.append((rb0, nrb))
+            continue
+
+        compute_strip(rb0, nrb)
+        patterns[i] = pattern_of(rb0, nrb)
+        if periodic_fastpath and period is None:
+            for k in (1, 2):
+                if i - 2 * k >= 0 and (i - k) in patterns and (i - 2 * k) in patterns:
+                    d1 = _pattern_shift(patterns[i - 2 * k], patterns[i - k], pinned_cb)
+                    d2 = _pattern_shift(patterns[i - k], patterns[i], pinned_cb)
+                    if d1 is not None and d1 == d2:
+                        period, delta = k, d2
+                        break
+
+    # verify randomly chosen extrapolated strips exactly; mismatch -> recompute all
+    if extrapolated:
+        ok = True
+        verified = set()
+        for vi in rng.choice(len(extrapolated), size=min(2, len(extrapolated)),
+                             replace=False):
+            vrb0, vn = extrapolated[int(vi)]
+            verified.add(vrb0)
+            saved = [sorted(packer._rb_slots[vrb0 + j]) for j in range(vn)]
+            for j in range(vn):
+                packer._rb_slots[vrb0 + j] = []
+            compute_strip(vrb0, vn)
+            ok = ok and all(sorted(packer._rb_slots[vrb0 + j]) == saved[j]
+                            for j in range(vn))
+        if not ok:
+            vprint("[keyed_conv_streaming]: periodicity verification FAILED; "
+                   "recomputing %d extrapolated strips exactly" % len(extrapolated))
+            for rb0e, ne in extrapolated:
+                if rb0e in verified:
+                    continue
+                for j in range(ne):
+                    packer._rb_slots[rb0e + j] = []
+                compute_strip(rb0e, ne)
+        packer.nnz = _total_nnz(packer)
+
+    vprint("[keyed_conv_streaming]: %s nnz=%d unique_tiles=%d extrapolated=%d/%d"
+           % ((n_out, n_in), packer.nnz, packer.n_unique(), len(extrapolated), n_strips))
+    inner = packer.finalize()
+    rpos = np.empty(n_out, dtype=np.int64)
+    rpos[perm_out] = np.arange(n_out)
+    return PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
+                                 jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in))
+
+
+def _pattern_shift(prev_pat, pat, pinned_cb):
+    """Constant column-block shift delta such that pat == prev_pat shifted
+    (slots at pinned_cb must match exactly), or None."""
+    if len(prev_pat) != len(pat):
+        return None
+    delta = None
+    for p, q in zip(prev_pat, pat):
+        if len(p) != len(q):
+            return None
+        for (cb0, t0), (cb1, t1) in zip(p, q):
+            if t0 != t1:
+                return None
+            if cb0 == pinned_cb or cb1 == pinned_cb:
+                if cb0 != cb1:
+                    return None
+                continue
+            d = cb1 - cb0
+            if delta is None:
+                delta = d
+            elif d != delta:
+                return None
+    return delta if delta is not None else 0
+
+
+def _total_nnz(packer):
+    """Recompute stored-entry count from tile contents (extrapolated strips
+    bypass add_strip; explicit zeros inside tiles are not counted)."""
+    tile_nnz = np.array([int(np.count_nonzero(t)) for t in packer._tiles])
+    return int(sum(tile_nnz[tid] for slots in packer._rb_slots for _, tid in slots))

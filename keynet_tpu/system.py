@@ -88,11 +88,13 @@ class KeyedModel:
         self._embeddingkey = outkeypair[last][1] if do_output_encryption else None
 
         # --- walk the spec and key each layer --------------------------------
+        import time as _time
         keyed = OrderedDict()
         for l in net.layers:
             k = l.name
             if isinstance(l, specs.Dropout):
                 continue
+            _t0 = _time.perf_counter()
             vprint('[keynet_tpu.KeyedModel]: keying "%s"' % k)
 
             if isinstance(l, specs.BatchNorm2d):
@@ -139,6 +141,8 @@ class KeyedModel:
                     l, shapes[k]["inshape"], shapes[k]["outshape"],
                     layerkey[k]["A"], layerkey[k]["Ainv"], params=net.params.get(k))
                 vprint("[keynet_tpu.KeyedModel]:     %r" % keyed[k])
+            if k in keyed or (k.endswith("_bn")):
+                vprint("[keynet_tpu.KeyedModel]:     %.1fs" % (_time.perf_counter() - _t0))
 
         self._layers = keyed
         self._outshape = shapes["output"]["outshape"]

@@ -26,24 +26,28 @@ import scipy.sparse
 _CHUNK_ENTRIES = 16_000_000
 
 
-def _spatial_pattern(inshape, P, Q, stride):
+def _spatial_pattern(inshape, P, Q, stride, ku_range=None):
     """Spatial COO skeleton shared by every (out-channel, in-channel) pair.
 
     Returns (sp_rows, sp_cols, tap) where for each valid (output pixel, kernel
     tap): sp_rows = output pixel index in (U//s)*(V//s), sp_cols = input pixel
-    index in U*V, tap = kernel tap index in P*Q.
+    index in U*V, tap = kernel tap index in P*Q.  ``ku_range=(k0,k1)`` restricts
+    to output pixel rows k0..k1 (for streaming strip-wise emission); row
+    indices stay global.
     """
     C, U, V = inshape
     Us, Vs = U // stride, V // stride
-    ku = np.arange(Us, dtype=np.int64)
+    k0, k1 = ku_range if ku_range is not None else (0, Us)
+    ku = np.arange(k0, k1, dtype=np.int64)
     kv = np.arange(Vs, dtype=np.int64)
     dp = np.arange(P, dtype=np.int64) - (P - 1) // 2
     dq = np.arange(Q, dtype=np.int64) - (Q - 1) // 2
 
-    u = ku[:, None, None, None] * stride + dp[None, None, :, None]     # (Us,1,P,1)
+    nk = len(ku)
+    u = ku[:, None, None, None] * stride + dp[None, None, :, None]     # (nk,1,P,1)
     v = kv[None, :, None, None] * stride + dq[None, None, None, :]     # (1,Vs,1,Q)
-    valid = np.broadcast_to((u >= 0) & (u < U), (Us, Vs, P, Q)) \
-        & np.broadcast_to((v >= 0) & (v < V), (Us, Vs, P, Q))
+    valid = np.broadcast_to((u >= 0) & (u < U), (nk, Vs, P, Q)) \
+        & np.broadcast_to((v >= 0) & (v < V), (nk, Vs, P, Q))
 
     out_pix = np.broadcast_to((ku[:, None] * Vs + kv[None, :])[:, :, None, None], valid.shape)
     in_pix = np.broadcast_to(u * V + v, valid.shape)
@@ -53,6 +57,74 @@ def _spatial_pattern(inshape, P, Q, stride):
 
     m = valid.reshape(-1)
     return out_pix.reshape(-1)[m], in_pix.reshape(-1)[m], tap.reshape(-1)[m]
+
+
+def _expand_channels(inshape, f, stride, ku_range):
+    """COO triplets (global indices) for the conv Toeplitz restricted to the
+    output pixel rows in ku_range.  Expands the (M, C) channel axes over the
+    shared spatial skeleton, chunked over out-channels to bound peak memory."""
+    C, U, V = inshape
+    M, _, P, Q = f.shape
+    Us, Vs = U // stride, V // stride
+    sp_rows, sp_cols, tap = _spatial_pattern(inshape, P, Q, stride, ku_range)
+    n_sp = sp_rows.shape[0]
+    fv = f.reshape(M, C, P * Q)
+
+    chunk_m = max(1, min(M, _CHUNK_ENTRIES // max(1, C * n_sp)))
+    parts = []
+    for m0 in range(0, M, chunk_m):
+        m1 = min(M, m0 + chunk_m)
+        mm = np.arange(m0, m1, dtype=np.int64)
+        rows = (mm[:, None, None] * (Us * Vs) + sp_rows[None, None, :])
+        cols = (np.arange(C, dtype=np.int64)[None, :, None] * (U * V) + sp_cols[None, None, :])
+        vals = fv[m0:m1][:, :, tap]
+        shape = (m1 - m0, C, n_sp)
+        parts.append((
+            np.broadcast_to(rows, shape).reshape(-1).astype(np.int64),
+            np.broadcast_to(cols, shape).reshape(-1).astype(np.int64),
+            vals.reshape(-1).astype(np.float32),
+        ))
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows):
+    """Sparse CSR holding only the given (global) output rows of the
+    homogeneous conv Toeplitz matrix — the streaming-emission building block
+    (rows include the bias column; the final [0..0 1] row is row M*Us*Vs).
+
+    out_rows may be any subset; generation is restricted to the covering
+    output-pixel-row range, then sliced.
+    """
+    f = np.asarray(f, dtype=np.float32)
+    C, U, V = inshape
+    M, _, P, Q = f.shape
+    Us, Vs = U // stride, V // stride
+    n_out, n_in = M * Us * Vs, C * U * V
+    out_rows = np.asarray(out_rows, dtype=np.int64)
+
+    body = out_rows[out_rows < n_out]
+    if body.size:
+        pix = body % (Us * Vs)
+        k0, k1 = int((pix // Vs).min()), int((pix // Vs).max()) + 1
+        rows, cols, vals = _expand_channels(inshape, f, stride, (k0, k1))
+    else:
+        rows = np.zeros(0, dtype=np.int64)
+        cols = np.zeros(0, dtype=np.int64)
+        vals = np.zeros(0, dtype=np.float32)
+    if bias is not None and body.size:
+        bias = np.asarray(bias, dtype=np.float32).reshape(-1)
+        rows = np.concatenate([rows, body])
+        cols = np.concatenate([cols, np.full(body.size, n_in, dtype=np.int64)])
+        vals = np.concatenate([vals, bias[body // (Us * Vs)]])
+    if np.any(out_rows == n_out):  # homogeneous last row
+        rows = np.concatenate([rows, [n_out]])
+        cols = np.concatenate([cols, [n_in]])
+        vals = np.concatenate([vals, [np.float32(1.0)]])
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)),
+                                shape=(n_out + 1, n_in + 1)).tocsr()
+    return A[out_rows]
 
 
 def toeplitz_conv2d(inshape, f, bias=None, stride=1, format="csr"):
@@ -74,29 +146,7 @@ def toeplitz_conv2d(inshape, f, bias=None, stride=1, format="csr"):
     Us, Vs = U // stride, V // stride
     n_out, n_in = M * Us * Vs, C * U * V
 
-    sp_rows, sp_cols, tap = _spatial_pattern(inshape, P, Q, stride)
-    n_sp = sp_rows.shape[0]
-    fv = f.reshape(M, C, P * Q)
-
-    # Expand (M, C) channel axes over the shared spatial skeleton, chunked over
-    # out-channels to bound peak memory for large convs.
-    chunk_m = max(1, min(M, _CHUNK_ENTRIES // max(1, C * n_sp)))
-    parts = []
-    for m0 in range(0, M, chunk_m):
-        m1 = min(M, m0 + chunk_m)
-        mm = np.arange(m0, m1, dtype=np.int64)
-        rows = (mm[:, None, None] * (Us * Vs) + sp_rows[None, None, :])
-        cols = (np.arange(C, dtype=np.int64)[None, :, None] * (U * V) + sp_cols[None, None, :])
-        vals = fv[m0:m1][:, :, tap]
-        shape = (m1 - m0, C, n_sp)
-        parts.append((
-            np.broadcast_to(rows, shape).reshape(-1).astype(np.int64),
-            np.broadcast_to(cols, shape).reshape(-1).astype(np.int64),
-            vals.reshape(-1).astype(np.float32),
-        ))
-    rows = np.concatenate([p[0] for p in parts])
-    cols = np.concatenate([p[1] for p in parts])
-    vals = np.concatenate([p[2] for p in parts])
+    rows, cols, vals = _expand_channels(inshape, f, stride, None)
 
     if bias is not None:
         # bias column: every output pixel of out-channel m gets bias[m]; then
