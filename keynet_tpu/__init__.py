@@ -29,6 +29,12 @@ from . import system
 from . import models
 from . import ops
 from . import parallel
+from . import train
+from . import datasets
+from . import serialize
+from . import profiling
+from . import challenge
+from . import native
 
 from .keys import keygen
 from .layer import KeyedLayer

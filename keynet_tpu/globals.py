@@ -13,6 +13,9 @@ GLOBAL = {
     "DENSE_MAX_BYTES": 256 * 1024 * 1024,  # auto-format threshold: dense below this
     "KEEP_HOST_NNZ": 50_000_000,  # keep host CSR for keyed matrices up to this nnz
     "USE_PALLAS": "auto",  # Block-ELL matmul kernel: 'auto' (TPU only) | 'always' | 'never'
+    # conv layers whose Toeplitz nnz exceeds this stream strip-wise instead of
+    # materializing (streaming also wins well below VGG scale)
+    "STREAM_NNZ": 30_000_000,
     # MXU precision for keyed matmuls: 'highest' = true f32 (bit-faithful to the
     # reference's exact-equivalence contract, test_keynet.py:33 atol 1e-5);
     # 'default' = bf16 passes (~4-8x faster, atol ~1e-4 on LeNet-scale).

@@ -115,6 +115,18 @@ def gaussian_random_diagonal(n, rng, mu=1.0, sigma=1.0, eps=1e-6):
     return np.maximum(eps, sigma * rng.standard_normal(n) + mu)
 
 
+def birkhoff_doubly_stochastic_matrix(n, k, rng, dtype=_DTYPE):
+    """Convex combination of k random permutation matrices — doubly stochastic
+    by Birkhoff's theorem (reference keynet/sparse.py:324-332; no analytic
+    inverse, provided for API parity/experimentation)."""
+    coef = rng.random(k)
+    coef = coef / coef.sum()
+    A = coef[0] * permutation_matrix(n, rng, dtype=dtype)
+    for c in coef[1:]:
+        A = A + c * permutation_matrix(n, rng, dtype=dtype)
+    return A.tocsr()
+
+
 def doubly_stochastic_matrix(n, k, rng, n_iter=100, withinverse=False, dtype=_DTYPE):
     """Diagonally-dominant doubly-stochastic matrix with <= k nonzeros per row,
     Sinkhorn-normalized then permuted; inverse is a direct dense inverse of the

@@ -22,14 +22,25 @@ from .ops.operators import (materialize, DenseOp, EllOp, PermutedBlockSparseOp,
 from .models import specs
 
 
+def is_identity_key(A):
+    """Cheap structural identity test for a key matrix (lets Identity keynets
+    skip the A·W·A⁻¹ products entirely)."""
+    if A is None:
+        return True
+    A = scipy.sparse.csr_matrix(A)
+    return (A.nnz == A.shape[0] and A.shape[0] == A.shape[1]
+            and bool((A.diagonal() == 1.0).all()))
+
+
 def _key_sandwich(W, A, Ainv):
     """Ŵ = A·W·A⁻¹ with optional missing outer key (A=None for the unkeyed
-    output layer, reference keynet/layer.py:59,70)."""
-    W = scipy.sparse.csr_matrix(W)
-    if Ainv is not None:
-        W = W @ scipy.sparse.csr_matrix(Ainv)
-    if A is not None:
-        W = scipy.sparse.csr_matrix(A) @ W
+    output layer, reference keynet/layer.py:59,70).  Identity keys skip their
+    product; non-identity products run in float32 (the device dtype)."""
+    W = scipy.sparse.csr_matrix(W).astype(np.float32)
+    if Ainv is not None and not is_identity_key(Ainv):
+        W = W @ scipy.sparse.csr_matrix(Ainv).astype(np.float32)
+    if A is not None and not is_identity_key(A):
+        W = scipy.sparse.csr_matrix(A).astype(np.float32) @ W
     return W
 
 
@@ -59,7 +70,7 @@ class KeyedLayer:
                 module.in_channels, module.out_channels, module.kernel_size, module.stride)
             pred_nnz = (module.out_channels * module.in_channels * module.kernel_size ** 2
                         * (inshape[1] // module.stride) * (inshape[2] // module.stride))
-            if pred_nnz > GLOBAL.get("STREAM_NNZ", 120_000_000):
+            if pred_nnz > GLOBAL.get("STREAM_NNZ", 30_000_000):
                 # VGG-224 scale: stream strips, never materialize Ŵ
                 from .ops.streaming import keyed_conv_streaming
                 import scipy.sparse as _sp
@@ -145,12 +156,14 @@ class KeyedLayer:
                 np.prod(self._inshape)) + 1))
             perm_out = conv_layout_perm(self._outshape, homogeneous=(n_out == int(
                 np.prod(self._outshape)) + 1))
-            op = PermutedBlockSparseOp.from_scipy(W_hom, perm_out, perm_in,
-                                                  tileshape=DEFAULT_TILE)
-            if op.device_bytes() <= max(4 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]):
+            op = PermutedBlockSparseOp.from_scipy(
+                W_hom, perm_out, perm_in, tileshape=DEFAULT_TILE,
+                max_pack_bytes=max(8 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]))
+            if op is not None and op.device_bytes() <= max(4 * ell_bytes,
+                                                           GLOBAL["DENSE_MAX_BYTES"]):
                 return op
-            vprint("[KeyedLayer]: layout-BSR too large (%.0f MB), falling back to ELL"
-                   % (op.device_bytes() / 1e6))
+            vprint("[KeyedLayer]: layout-BSR unattractive for %s, using ELL"
+                   % (self._layertype,))
         return EllOp.from_scipy(W_hom)
 
     # --------------------------------------------------------------- runtime

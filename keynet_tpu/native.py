@@ -1,0 +1,23 @@
+"""Loader for the optional C++ host-runtime extension (native/packer.cpp).
+
+Build with ``python setup.py build_ext --inplace``.  When absent, callers use
+the vectorized numpy fallbacks; when present, strip packing runs ~5-10x faster
+(single-pass scatter + dedup hash instead of sort-based numpy unique).
+"""
+
+try:
+    from keynet_tpu import _native  # built in-place into the package dir
+
+    def available():
+        return True
+
+    pack_strip = _native.pack_strip
+    tile_hashes = _native.tile_hashes
+except ImportError:  # pragma: no cover - exercised when ext is not built
+    _native = None
+
+    def available():
+        return False
+
+    pack_strip = None
+    tile_hashes = None

@@ -223,27 +223,54 @@ class StreamingBlockPacker:
     (keynet/sparse.py:556-568); chunked feeding bounds peak host memory."""
 
     def __init__(self, shape, tileshape=DEFAULT_TILE):
-        import xxhash
+        from .. import native
         self.shape = shape
         self.TM, self.TN = tileshape
         self.n_rb = _cdiv(shape[0], self.TM)
         self.n_cb = _cdiv(shape[1], self.TN)
-        self._hash = xxhash.xxh3_128_digest
+        self._native = native if native.available() else None
+        if self._native is None:
+            import xxhash
+            self._hash = xxhash.xxh3_128_digest
         self._uniq = {}
         self._tiles = [np.zeros((self.TM, self.TN), dtype=np.float32)]
-        self._uniq[self._hash(self._tiles[0].tobytes())] = 0
+        self._uniq[self._key(self._tiles[0])] = 0
         self._rb_slots = [[] for _ in range(self.n_rb)]  # (col_blk, tile_id)
         self.nnz = 0
 
+    def _key(self, tile):
+        if self._native is not None:
+            return int(self._native.tile_hashes(tile[None])[0])
+        return self._hash(tile.tobytes())
+
     def add_strip(self, rows, cols, vals):
-        """rows/cols in final coordinates; (row, col) pairs must be unique and
-        each row-block must be fed by exactly one strip."""
+        """rows/cols in final coordinates; (row, col) pairs must be unique,
+        rows non-decreasing (row-sorted strips), and each row-block fed by
+        exactly one strip."""
         if len(rows) == 0:
             return
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
-        vals = np.asarray(vals, dtype=np.float32)
+        idt = np.int32 if (np.asarray(rows).dtype == np.int32
+                           and np.asarray(cols).dtype == np.int32) else np.int64
+        rows = np.ascontiguousarray(rows, dtype=idt)
+        cols = np.ascontiguousarray(cols, dtype=idt)
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
         self.nnz += len(vals)
+        if self._native is not None:
+            # single-pass C++ scatter + 64-bit content hash; hash hits are
+            # verified by content compare (collision -> new unique tile)
+            placed_pairs, placed = self._native.pack_strip(
+                rows, cols, vals, self.TM, self.TN, self.n_cb)
+            hashes = self._native.tile_hashes(placed)
+            for i, (p, h) in enumerate(zip(placed_pairs, hashes)):
+                tid = self._uniq.get(int(h))
+                if tid is not None and not np.array_equal(self._tiles[tid], placed[i]):
+                    tid = None  # 64-bit hash collision: force a new unique id
+                if tid is None:
+                    tid = len(self._tiles)
+                    self._uniq[int(h)] = tid
+                    self._tiles.append(placed[i].copy())
+                self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
+            return
         pair = (rows // self.TM) * self.n_cb + (cols // self.TN)
         placed_pairs, inv = np.unique(pair, return_inverse=True)
         placed = np.zeros((len(placed_pairs), self.TM, self.TN), dtype=np.float32)
@@ -358,15 +385,28 @@ class PermutedBlockSparseOp(LinearOp):
         self.shape = tuple(shape)
 
     @staticmethod
-    def from_scipy(A, perm_out, perm_in, tileshape=DEFAULT_TILE):
-        """perm_out/perm_in: layout vectors (new position -> old index)."""
+    def from_scipy(A, perm_out, perm_in, tileshape=DEFAULT_TILE, max_pack_bytes=None):
+        """perm_out/perm_in: layout vectors (new position -> old index).
+
+        ``max_pack_bytes`` guards against matrices whose layout tiles stay
+        sparse (e.g. channel-diagonal pooling): if the pre-dedup placed-tile
+        footprint would exceed it, returns None so the caller picks another
+        format instead of grinding through gigabytes of near-empty tiles.
+        """
         A = scipy.sparse.coo_matrix(A)
         n_out, n_in = A.shape
         rpos = np.empty(n_out, dtype=np.int64)
         rpos[np.asarray(perm_out)] = np.arange(n_out)
         cpos = np.empty(n_in, dtype=np.int64)
         cpos[np.asarray(perm_in)] = np.arange(n_in)
-        B = scipy.sparse.coo_matrix((A.data, (rpos[A.row], cpos[A.col])), shape=A.shape)
+        TM, TN = tileshape
+        rows, cols = rpos[A.row], cpos[A.col]
+        if max_pack_bytes is not None:
+            n_cb = _cdiv(n_in, TN)
+            placed = np.unique((rows // TM) * n_cb + (cols // TN)).size
+            if placed * TM * TN * 4 > max_pack_bytes:
+                return None
+        B = scipy.sparse.coo_matrix((A.data, (rows, cols)), shape=A.shape)
         inner = BlockSparseOp.from_scipy(B, tileshape=tileshape)
         return PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
                                      jnp.asarray(rpos, dtype=jnp.int32), A.shape)

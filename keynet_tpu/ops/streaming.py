@@ -56,8 +56,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
     perm_in = conv_layout_perm(inshape, homogeneous=True,
                                blocks=(bh * stride, bw * stride))
-    cpos = np.empty(n_in, dtype=np.int64)
-    cpos[perm_in] = np.arange(n_in)
+    cpos = np.empty(n_in, dtype=np.int32)
+    cpos[perm_in] = np.arange(n_in, dtype=np.int32)
 
     packer = StreamingBlockPacker((n_out, n_in), tileshape)
     n_rb = _cdiv(n_out, TM)
@@ -72,14 +72,26 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         tgt = strip_rows_target or max(TM, min(400_000, 24_000_000 // est_row_nnz))
         rb_per_strip = max(1, tgt // TM)
 
+    from ..layer import is_identity_key
+    A_ident, Ainv_ident = is_identity_key(A), is_identity_key(Ainv)
+    A32 = A.astype(np.float32)
+    Ainv32 = Ainv.astype(np.float32)
+
     def compute_strip(rb0, nrb):
         r0 = rb0 * TM
         r1 = min(n_out, (rb0 + nrb) * TM)
-        A_strip = A[perm_out[r0:r1]]
-        needed = np.unique(A_strip.indices)
-        W_needed = toeplitz_conv2d_rows(inshape, weight, bias, stride, needed)
-        S = (A_strip[:, needed] @ W_needed @ Ainv).tocoo()
-        packer.add_strip(S.row + r0, cpos[S.col], S.data)
+        strip_rows = perm_out[r0:r1]
+        if A_ident:
+            S = toeplitz_conv2d_rows(inshape, weight, bias, stride, strip_rows)
+        else:
+            A_strip = A32[strip_rows]
+            needed = np.unique(A_strip.indices)
+            S = A_strip[:, needed] @ toeplitz_conv2d_rows(inshape, weight, bias,
+                                                          stride, needed)
+        if not Ainv_ident:
+            S = S @ Ainv32
+        S = S.tocoo()
+        packer.add_strip(S.row.astype(np.int32) + np.int32(r0), cpos[S.col], S.data)
 
     def pattern_of(rb0, nrb):
         return [tuple(sorted(packer._rb_slots[rb0 + i])) for i in range(nrb)]

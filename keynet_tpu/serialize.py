@@ -1,0 +1,146 @@
+"""Checkpointing keyed systems (reference parity: pickled (sensor, knet)
+tuples via vipy.util.save, test_keynet.py:106,144; challenge pkl).
+
+Keyed systems here are plain arrays, so they serialize as a single .npz:
+every device operator's arrays plus static metadata (format, shapes, layer
+order, relu plan).  Private keys (image/embedding) are stored only when
+``include_keys=True`` — a public release stores none, like
+KeyedModel.public() (keynet/system.py:147-151).
+"""
+
+import io
+import json
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+
+from .layer import KeyedLayer
+from .ops.operators import DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp
+
+
+def _op_state(op):
+    if isinstance(op, DenseOp):
+        return "dense", {"W": np.asarray(op.W)}, {"nnz": op.nnz()}
+    if isinstance(op, BlockSparseOp):
+        return "block", {k: np.asarray(v) for k, v in op.arrays().items()}, \
+            {"shape": op.shape, "tileshape": op.tileshape, "nnz": op.nnz()}
+    if isinstance(op, PermutedBlockSparseOp):
+        kind, arrs, meta = _op_state(op.inner)
+        arrs.update({"perm_in": np.asarray(op.perm_in),
+                     "perm_out_pos": np.asarray(op.perm_out_pos)})
+        meta["outer_shape"] = op.shape
+        return "permuted_block", arrs, meta
+    if isinstance(op, EllOp):
+        return "ell", {"cols": np.asarray(op.cols), "vals": np.asarray(op.vals)}, \
+            {"shape": op.shape, "nnz": op.nnz()}
+    raise TypeError(type(op))
+
+
+def _op_restore(kind, arrs, meta):
+    if kind == "dense":
+        return DenseOp(jnp.asarray(arrs["W"]), nnz=meta["nnz"])
+    if kind == "block":
+        return BlockSparseOp(jnp.asarray(arrs["tiles"]), jnp.asarray(arrs["tile_ids"]),
+                             jnp.asarray(arrs["col_blk"]), tuple(meta["shape"]),
+                             tuple(meta["tileshape"]), meta["nnz"])
+    if kind == "permuted_block":
+        inner = _op_restore("block", arrs, meta)
+        return PermutedBlockSparseOp(inner, jnp.asarray(arrs["perm_in"]),
+                                     jnp.asarray(arrs["perm_out_pos"]),
+                                     tuple(meta["outer_shape"]))
+    if kind == "ell":
+        return EllOp(jnp.asarray(arrs["cols"]), jnp.asarray(arrs["vals"]),
+                     tuple(meta["shape"]), meta["nnz"])
+    raise ValueError(kind)
+
+
+def _csr_arrays(prefix, M):
+    M = scipy.sparse.csr_matrix(M)
+    return {prefix + "_data": M.data, prefix + "_indices": M.indices,
+            prefix + "_indptr": M.indptr,
+            prefix + "_shape": np.asarray(M.shape)}
+
+
+def _csr_restore(prefix, z):
+    return scipy.sparse.csr_matrix(
+        (z[prefix + "_data"], z[prefix + "_indices"], z[prefix + "_indptr"]),
+        shape=tuple(z[prefix + "_shape"]))
+
+
+def save_keynet(path, knet, sensor=None, include_keys=False):
+    """Serialize a KeyedModel (and optionally its sensor keypair) to .npz."""
+    arrays, manifest = {}, {"layers": [], "outshape": list(knet._outshape),
+                            "include_keys": bool(include_keys)}
+    for name, l in knet.layers().items():
+        if l == "relu":
+            manifest["layers"].append({"name": name, "kind": "relu"})
+            continue
+        kind, arrs, meta = _op_state(l.op())
+        key = "layer_%s" % name
+        for k, v in arrs.items():
+            arrays["%s__%s" % (key, k)] = v
+        manifest["layers"].append({
+            "name": name, "kind": kind, "meta": _jsonable(meta),
+            "relu": bool(l._relu), "repr": l._repr, "layertype": l._layertype,
+            "shape": list(l.shape), "nnz": l.nnz()})
+    if include_keys:
+        if knet._imagekey is not None:
+            arrays.update(_csr_arrays("imagekey", knet._imagekey))
+        if knet._embeddingkey is not None:
+            arrays.update(_csr_arrays("embeddingkey", knet._embeddingkey))
+        if sensor is not None:
+            arrays.update(_csr_arrays("sensor_encrypt", sensor._encryptkey))
+            arrays.update(_csr_arrays("sensor_decrypt", sensor._decryptkey))
+            manifest["sensor_inshape"] = list(sensor._inshape[1:])
+    arrays["__manifest__"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def load_keynet(path):
+    """Restore (sensor_or_None, KeyedModel) from save_keynet output."""
+    from collections import OrderedDict
+    from .system import KeyedModel, KeyedSensor
+
+    z = np.load(path, allow_pickle=False)
+    manifest = json.loads(bytes(z["__manifest__"]).decode())
+    layers = OrderedDict()
+    for entry in manifest["layers"]:
+        name = entry["name"]
+        if entry["kind"] == "relu":
+            layers[name] = "relu"
+            continue
+        key = "layer_%s" % name
+        arrs = {k.split("__", 1)[1]: z[k] for k in z.files
+                if k.startswith(key + "__")}
+        op = _op_restore(entry["kind"], arrs, entry["meta"])
+        kl = KeyedLayer.__new__(KeyedLayer)
+        kl._op = op
+        kl._relu = entry["relu"]
+        kl._repr = entry["repr"]
+        kl._layertype = entry["layertype"]
+        kl._inshape = kl._outshape = kl._tileshape = None
+        kl.shape = tuple(entry["shape"])
+        kl._nnz = entry["nnz"]
+        kl.W = None
+        layers[name] = kl
+
+    imagekey = _csr_restore("imagekey", z) if "imagekey_data" in z.files else None
+    embeddingkey = _csr_restore("embeddingkey", z) if "embeddingkey_data" in z.files else None
+    knet = KeyedModel.from_layers(layers, manifest["outshape"],
+                                  imagekey=imagekey, embeddingkey=embeddingkey)
+    sensor = None
+    if "sensor_encrypt_data" in z.files:
+        sensor = KeyedSensor(tuple(manifest["sensor_inshape"]),
+                             (_csr_restore("sensor_encrypt", z),
+                              _csr_restore("sensor_decrypt", z)))
+    return sensor, knet
+
+
+def _jsonable(meta):
+    out = {}
+    for k, v in meta.items():
+        out[k] = list(v) if isinstance(v, tuple) else v
+    return out

@@ -89,13 +89,65 @@ def _expand_channels(inshape, f, stride, ku_range):
             np.concatenate([p[2] for p in parts]))
 
 
+def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None):
+    """CSR over the generated rows only (no sort: entries are emitted in
+    row-major order directly; the bias column entry is interleaved at the end
+    of each row segment so no csr merge is needed).  Returns
+    (row_ids_global, csr of shape (len(row_ids), C*U*V+1)) for output pixel
+    rows ku in ku_range.
+    """
+    C, U, V = inshape
+    M, _, P, Q = f.shape
+    Us, Vs = U // stride, V // stride
+    k0, k1 = ku_range
+    sp_rows, sp_cols, tap = _spatial_pattern(inshape, P, Q, stride, ku_range)
+    npix = (k1 - k0) * Vs
+    n_in = C * U * V
+
+    # per-(m, spatial-entry) the C in-channel entries are contiguous:
+    # row = m*Us*Vs + sp_rows[e]  (non-decreasing in (m, e))
+    cols_block = (sp_cols[:, None].astype(np.int32)
+                  + (np.arange(C, dtype=np.int32) * (U * V))[None, :]).reshape(-1)
+    cols_body = np.tile(cols_block, M)
+    vals_body = np.swapaxes(f.reshape(M, C, P * Q)[:, :, tap], 1, 2) \
+        .reshape(-1).astype(np.float32)
+    # row lengths: taps-per-pixel * C, identical for every out-channel m
+    perpix = (np.bincount(sp_rows - k0 * Vs, minlength=npix) * C).astype(np.int64)
+    perrow = np.tile(perpix, M)
+    n_rows = M * npix
+    row_ids = ((np.arange(M, dtype=np.int64) * (Us * Vs))[:, None]
+               + np.arange(k0 * Vs, k1 * Vs, dtype=np.int64)[None, :]).reshape(-1)
+
+    if bias is None:
+        indptr = np.concatenate([[0], np.cumsum(perrow, dtype=np.int64)])
+        S = scipy.sparse.csr_matrix((vals_body, cols_body, indptr),
+                                    shape=(n_rows, n_in + 1))
+        return row_ids, S
+
+    bias = np.asarray(bias, dtype=np.float32).reshape(-1)
+    indptr = np.concatenate([[0], np.cumsum(perrow + 1, dtype=np.int64)])
+    total = int(indptr[-1])
+    cols_full = np.empty(total, dtype=np.int32)
+    vals_full = np.empty(total, dtype=np.float32)
+    body_pos = np.arange(vals_body.size, dtype=np.int64) \
+        + np.repeat(np.arange(n_rows, dtype=np.int64), perrow)
+    cols_full[body_pos] = cols_body
+    vals_full[body_pos] = vals_body
+    bias_pos = indptr[1:] - 1
+    cols_full[bias_pos] = np.int32(n_in)
+    vals_full[bias_pos] = np.repeat(bias, npix)
+    S = scipy.sparse.csr_matrix((vals_full, cols_full, indptr),
+                                shape=(n_rows, n_in + 1))
+    return row_ids, S
+
+
 def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows):
     """Sparse CSR holding only the given (global) output rows of the
     homogeneous conv Toeplitz matrix — the streaming-emission building block
     (rows include the bias column; the final [0..0 1] row is row M*Us*Vs).
 
     out_rows may be any subset; generation is restricted to the covering
-    output-pixel-row range, then sliced.
+    output-pixel-row range and emitted pre-sorted (no COO->CSR sort).
     """
     f = np.asarray(f, dtype=np.float32)
     C, U, V = inshape
@@ -104,27 +156,43 @@ def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows):
     n_out, n_in = M * Us * Vs, C * U * V
     out_rows = np.asarray(out_rows, dtype=np.int64)
 
-    body = out_rows[out_rows < n_out]
+    body_mask = out_rows < n_out
+    body = out_rows[body_mask]
     if body.size:
         pix = body % (Us * Vs)
         k0, k1 = int((pix // Vs).min()), int((pix // Vs).max()) + 1
-        rows, cols, vals = _expand_channels(inshape, f, stride, (k0, k1))
+        row_ids, S = _rowmajor_block_csr(inshape, f, stride, (k0, k1), bias=bias)
+        pos = np.searchsorted(row_ids, body)
+        assert np.array_equal(row_ids[pos], body)
+        out = S[pos]
     else:
-        rows = np.zeros(0, dtype=np.int64)
-        cols = np.zeros(0, dtype=np.int64)
-        vals = np.zeros(0, dtype=np.float32)
-    if bias is not None and body.size:
-        bias = np.asarray(bias, dtype=np.float32).reshape(-1)
-        rows = np.concatenate([rows, body])
-        cols = np.concatenate([cols, np.full(body.size, n_in, dtype=np.int64)])
-        vals = np.concatenate([vals, bias[body // (Us * Vs)]])
-    if np.any(out_rows == n_out):  # homogeneous last row
-        rows = np.concatenate([rows, [n_out]])
-        cols = np.concatenate([cols, [n_in]])
-        vals = np.concatenate([vals, [np.float32(1.0)]])
-    A = scipy.sparse.coo_matrix((vals, (rows, cols)),
-                                shape=(n_out + 1, n_in + 1)).tocsr()
-    return A[out_rows]
+        out = scipy.sparse.csr_matrix((0, n_in + 1), dtype=np.float32)
+
+    n_req = out_rows.shape[0]
+    if body.size == n_req:
+        return out
+
+    # non-body requested rows are the homogeneous last row (value 1 at n_in)
+    req_index_of_body = np.nonzero(body_mask)[0]
+    hom = np.nonzero(~body_mask)[0]
+    if body.size == 0 or np.array_equal(req_index_of_body, np.arange(body.size)):
+        # hom rows trail (sorted request, the streaming path): cheap vstack
+        hom_block = scipy.sparse.csr_matrix(
+            (np.ones(hom.size, dtype=np.float32),
+             (np.arange(hom.size), np.full(hom.size, n_in, dtype=np.int64))),
+            shape=(hom.size, n_in + 1))
+        return scipy.sparse.vstack([out, hom_block], format="csr") if body.size \
+            else hom_block
+    # general scattered request (small/testing sizes): permute + add
+    expand = scipy.sparse.csr_matrix(
+        (np.ones(body.size, dtype=np.float32),
+         (req_index_of_body, np.arange(body.size))),
+        shape=(n_req, int(body.size)))
+    extra = scipy.sparse.csr_matrix(
+        (np.ones(hom.size, dtype=np.float32),
+         (hom, np.full(hom.size, n_in, dtype=np.int64))),
+        shape=(n_req, n_in + 1))
+    return scipy.sparse.csr_matrix(expand @ out + extra)
 
 
 def toeplitz_conv2d(inshape, f, bias=None, stride=1, format="csr"):
@@ -146,31 +214,47 @@ def toeplitz_conv2d(inshape, f, bias=None, stride=1, format="csr"):
     Us, Vs = U // stride, V // stride
     n_out, n_in = M * Us * Vs, C * U * V
 
-    rows, cols, vals = _expand_channels(inshape, f, stride, None)
+    _, S = _rowmajor_block_csr(inshape, f, stride, (0, Us))  # pre-sorted CSR
 
-    if bias is not None:
-        # bias column: every output pixel of out-channel m gets bias[m]; then
-        # the homogeneous last row [0 ... 0 1].
-        brows = np.arange(n_out, dtype=np.int64)
-        bcols = np.full(n_out, n_in, dtype=np.int64)
-        bvals = np.repeat(bias, Us * Vs).astype(np.float32)
-        rows = np.concatenate([rows, brows, [n_out]])
-        cols = np.concatenate([cols, bcols, [n_in]])
-        vals = np.concatenate([vals, bvals, [np.float32(1.0)]])
-        shape = (n_out + 1, n_in + 1)
+    body = S[:, :n_in]
+    if bias is None:
+        A = body
     else:
-        shape = (n_out, n_in)
-
-    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=shape)
-    return A.asformat(format) if format != "coo" else A
+        # assemble by stacking (scipy's csr addition would prune the explicit
+        # zero entries that the channel-broadcast tile structure relies on)
+        bias_col = scipy.sparse.csr_matrix(
+            (np.repeat(bias, Us * Vs).astype(np.float32),
+             (np.arange(n_out, dtype=np.int64), np.zeros(n_out, dtype=np.int64))),
+            shape=(n_out, 1))
+        last = scipy.sparse.csr_matrix(
+            (np.ones(1, dtype=np.float32), (np.zeros(1, dtype=np.int64),
+                                            np.array([n_in], dtype=np.int64))),
+            shape=(1, n_in + 1))
+        A = scipy.sparse.vstack(
+            [scipy.sparse.hstack([body, bias_col], format="csr"), last], format="csr")
+    return A.asformat(format) if format != "csr" else A
 
 
 def toeplitz_avgpool2d(inshape, kernelsize, stride, format="csr"):
     """Homogeneous sparse matrix of avgpool2d = conv2d with a constant
-    1/k^2 channel-diagonal filter and zero bias (spec: keynet/sparse.py:206-212)."""
-    C = inshape[0]
-    f = np.zeros((C, C, kernelsize, kernelsize), dtype=np.float32)
-    idx = np.arange(C)
-    f[idx, idx] = 1.0 / (kernelsize * kernelsize)
-    return toeplitz_conv2d(inshape, f, bias=np.zeros(C, dtype=np.float32),
-                           stride=stride, format=format)
+    1/k^2 channel-diagonal filter and zero bias (spec: keynet/sparse.py:206-212).
+
+    Only the channel-diagonal entries are emitted (the off-diagonal filter taps
+    are structurally zero for pooling; emitting them — as lowering the full
+    (C,C,k,k) filter would — inflates nnz by a factor of C).
+    """
+    C, U, V = inshape
+    Us, Vs = U // stride, V // stride
+    sp_rows, sp_cols, _ = _spatial_pattern(inshape, kernelsize, kernelsize, stride)
+    n_sp = sp_rows.shape[0]
+    ch = np.arange(C, dtype=np.int64)
+    rows = (ch[:, None] * (Us * Vs) + sp_rows[None, :]).reshape(-1)
+    cols = (ch[:, None] * (U * V) + sp_cols[None, :]).reshape(-1)
+    vals = np.full(C * n_sp, 1.0 / (kernelsize * kernelsize), dtype=np.float32)
+    n_out, n_in = C * Us * Vs, C * U * V
+    # homogeneous augmentation (zero bias column + [0..0 1] row)
+    rows = np.concatenate([rows, [n_out]])
+    cols = np.concatenate([cols, [n_in]])
+    vals = np.concatenate([vals, [np.float32(1.0)]])
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n_out + 1, n_in + 1))
+    return A.asformat(format) if format != "coo" else A

@@ -57,6 +57,18 @@ def channel_to_pixel_order_indices(shape) -> np.ndarray:
     return np.moveaxis(img, 0, 2).reshape(-1)
 
 
+def matrix_blockview(W, inshape, n):
+    """Reorder sparse W so that W @ x.flatten() == matrix_blockview(W, x.shape, n)
+    @ blockview(x, n).flatten() (reference keynet/util.py:31-37), via the
+    block-order permutation of both index spaces."""
+    import scipy.sparse
+    idx = blockview(np.arange(int(np.prod(inshape))).reshape(inshape), n).reshape(-1)
+    pos = np.empty_like(idx)
+    pos[idx] = np.arange(idx.size)
+    W = scipy.sparse.coo_matrix(W)
+    return scipy.sparse.coo_matrix((W.data, (pos[W.row], pos[W.col])), shape=W.shape)
+
+
 def conv2d_oracle(x: np.ndarray, f: np.ndarray, b=None, stride: int = 1) -> np.ndarray:
     """Reference-free numpy conv2d (spatial correlation, padding=k//2).
 

@@ -1,0 +1,69 @@
+"""Keyed-system checkpointing: save -> load -> identical forward (reference
+parity: pickled (sensor, knet) tuples, test_keynet.py:106; SURVEY.md 5.4)."""
+
+import numpy as np
+import pytest
+
+import keynet_tpu as keynet
+from keynet_tpu.serialize import save_keynet, load_keynet
+
+
+def test_save_load_roundtrip(tmp_path):
+    net = keynet.models.LeNet_AvgPool(seed=1)
+    sensor, knet = keynet.PermutationKeynet((1, 28, 28), net, seed=0,
+                                            do_output_encryption=True)
+    x = np.random.default_rng(0).normal(size=(2, 1, 28, 28)).astype(np.float32)
+    xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+    y0 = np.asarray(knet.forward(xc))
+
+    p = str(tmp_path / "keynet.npz")
+    save_keynet(p, knet, sensor=sensor, include_keys=True)
+    sensor2, knet2 = load_keynet(p)
+
+    y1 = np.asarray(knet2.forward(xc))
+    assert np.allclose(y0, y1, atol=1e-6)
+    # sensor keypair restored: encrypting with the loaded sensor matches
+    xc2 = np.asarray(sensor2.fromtensor(x).encrypt().tensor())
+    assert np.allclose(xc, xc2, atol=1e-5)
+
+
+def test_public_save_has_no_keys(tmp_path):
+    net = keynet.models.LeNet_AvgPool(seed=1)
+    sensor, knet = keynet.PermutationKeynet((1, 28, 28), net, seed=0)
+    p = str(tmp_path / "public.npz")
+    save_keynet(p, knet.public(), include_keys=False)
+    sensor2, knet2 = load_keynet(p)
+    assert sensor2 is None
+    assert knet2.imagekey() is None and knet2.embeddingkey() is None
+    # still evaluates (public cipher embedding path)
+    x = np.random.default_rng(1).normal(size=(1, 1, 28, 28)).astype(np.float32)
+    xc = sensor.fromtensor(x).encrypt().tensor()
+    y = knet2.forward(xc)
+    assert np.asarray(y).shape == (1, 10)
+
+
+def test_block_sparse_op_roundtrip(tmp_path):
+    """Layers in every device format survive the roundtrip."""
+    from keynet_tpu.globals import GLOBAL
+    old = GLOBAL["DENSE_MAX_BYTES"]
+    GLOBAL["DENSE_MAX_BYTES"] = 1 << 20
+    try:
+        net = keynet.models.LeNet_AvgPool(seed=1)
+        sensor, knet = keynet.Keynet((1, 28, 28), net,
+                                     global_geometric="hierarchical_permutation",
+                                     hierarchical_blockshape=(2, 2),
+                                     hierarchical_permute_at_level=(0,),
+                                     local_geometric="givens_orthogonal", alpha=2.0,
+                                     blocksize=4, local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, memoryorder="block", seed=0)
+        fmts = {type(l.op()).__name__ for l in knet.layers().values() if l != "relu"}
+        assert "PermutedBlockSparseOp" in fmts and "EllOp" in fmts
+        x = np.random.default_rng(0).normal(size=(1, 1, 28, 28)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "k.npz")
+        save_keynet(p, knet, sensor=sensor, include_keys=True)
+        _, knet2 = load_keynet(p)
+        assert np.allclose(y0, np.asarray(knet2.forward(xc)), atol=1e-6)
+    finally:
+        GLOBAL["DENSE_MAX_BYTES"] = old
