@@ -2,12 +2,17 @@
 
 The XLA fallback in operators.BlockSparseOp.apply materializes a gathered
 intermediate xg of shape (B, n_rb, KB, TN) in HBM before the batched einsum.
-This kernel instead walks each output row-block's tile list with
-scalar-prefetched indices: the tile (tile_ids[r,k]) and the x column-block
-(col_blk[r,k]) are DMA'd HBM->VMEM per slot and accumulated on the MXU, so
-HBM traffic is exactly tiles-touched + x-blocks-touched.
+This kernel instead walks each output row-block's tile list: the tile
+(tile_ids[r,k]) and the x column-block (col_blk[r,k]) are DMA'd HBM->VMEM per
+slot and accumulated on the MXU, so HBM traffic is exactly tiles-touched +
+x-blocks-touched.
 
-Layout convention matches BlockSparseOp: y[:, rTM:(r+1)TM] =
+Grid steps process GROUPS of 8 row-blocks: their index rows stream into SMEM
+as an (8, KB) block per step (whole-array scalar prefetch would overflow the
+~1MB SMEM at VGG scale, and TPU block shapes need the second-to-last dim
+divisible by 8).
+
+Layout convention matches BlockSparseOp: y[:, r*TM:(r+1)*TM] =
 sum_k x[:, col_blk[r,k]*TN : +TN] @ tiles[tile_ids[r,k]]^T.
 """
 
@@ -18,70 +23,96 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+GROUP = 8  # row-blocks per grid step
 
-def _kernel(tile_ids_ref, col_blk_ref,    # scalar-prefetch (SMEM)
+
+def _kernel(tile_ids_ref, col_blk_ref,    # SMEM (GROUP, KB) for this group
             x_hbm, tiles_hbm,             # HBM operands
-            out_ref,                      # VMEM output block (B, TM)
-            x_buf, t_buf, acc, sems, precision):
-    r = pl.program_id(0)
+            out_ref,                      # VMEM output block (B, GROUP*TM)
+            x_buf, t_buf, sems, precision):
+    """Double-buffered: slot s+1's x block and tile DMA in flight while slot s
+    multiplies on the MXU.  Flattened slot index s -> (row-block j, list pos k)."""
     KB = tile_ids_ref.shape[1]
-    acc[...] = jnp.zeros_like(acc)
+    TN = x_buf.shape[2]
+    TM = t_buf.shape[1]
+    total = GROUP * KB
+    out_ref[...] = jnp.zeros_like(out_ref)
 
-    def slot(k, _):
-        tid = tile_ids_ref[r, k]
-        cb = col_blk_ref[r, k]
-        cp_x = pltpu.make_async_copy(x_hbm.at[:, pl.ds(cb * x_buf.shape[1], x_buf.shape[1])],
-                                     x_buf, sems.at[0])
-        cp_t = pltpu.make_async_copy(tiles_hbm.at[tid], t_buf, sems.at[1])
-        cp_x.start()
-        cp_t.start()
-        cp_x.wait()
-        cp_t.wait()
-        # skip the zero padding tile (id 0) cheaply via predication
+    def copies(s, buf):
+        j, k = s // KB, s % KB
+        cb = col_blk_ref[j, k]
+        tid = tile_ids_ref[j, k]
+        return (pltpu.make_async_copy(x_hbm.at[:, pl.ds(cb * TN, TN)],
+                                      x_buf.at[buf], sems.at[0, buf]),
+                pltpu.make_async_copy(tiles_hbm.at[tid], t_buf.at[buf],
+                                      sems.at[1, buf]))
+
+    cx, ct = copies(0, 0)
+    cx.start()
+    ct.start()
+
+    def body(s, _):
+        buf = s % 2
+
+        @pl.when(s + 1 < total)
+        def _():
+            nx, nt = copies(s + 1, (s + 1) % 2)
+            nx.start()
+            nt.start()
+
+        cx, ct = copies(s, buf)  # same refs/semaphore: wait on the in-flight DMA
+        cx.wait()
+        ct.wait()
+
+        j = s // KB
+        tid = tile_ids_ref[j, s % KB]
+
+        # tile id 0 is the zero-padding tile: skip its FLOPs
         @pl.when(tid > 0)
         def _():
-            acc[...] += jax.lax.dot_general(
-                x_buf[...], t_buf[...],
+            out_ref[:, pl.ds(j * TM, TM)] += jax.lax.dot_general(
+                x_buf[buf], t_buf[buf],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision)
         return 0
 
-    jax.lax.fori_loop(0, KB, slot, 0)
-    out_ref[...] = acc[...]
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_out_padded", "interpret"))
 def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
                      interpret=False):
     """x_padded: (B, n_cb*TN) f32; tiles: (n_uniq, TM, TN); tile_ids/col_blk:
-    (n_rb, KB) int32.  Returns (B, n_out_padded) f32."""
+    (n_rb, KB) int32.  Returns (B, n_out_padded) f32 with
+    n_out_padded = ceil(n_rb/GROUP)*GROUP*TM."""
     B = x_padded.shape[0]
     n_rb, KB = tile_ids.shape
     TM, TN = tiles.shape[1], tiles.shape[2]
+    n_grp = -(-n_rb // GROUP)
+    pad_r = n_grp * GROUP - n_rb
+    if pad_r:
+        tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, 0)))  # pad rows hit tile 0
+        col_blk = jnp.pad(col_blk, ((0, pad_r), (0, 0)))
     from ..globals import precision as _prec
-    precision = _prec()
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_rb,),
+    kernel = functools.partial(_kernel, precision=_prec())
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_grp,),
         in_specs=[
+            pl.BlockSpec((GROUP, KB), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, KB), lambda r: (r, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # tiles stay in HBM
         ],
-        out_specs=pl.BlockSpec((B, TM), lambda r, *_: (0, r),
+        out_specs=pl.BlockSpec((B, GROUP * TM), lambda r: (0, r),
                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, TN), jnp.float32),
-            pltpu.VMEM((TM, TN), jnp.float32),
-            pltpu.VMEM((B, TM), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, B, TN), jnp.float32),   # double-buffered x blocks
+            pltpu.VMEM((2, TM, TN), jnp.float32),  # double-buffered tiles
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
-    )
-    kernel = functools.partial(_kernel, precision=precision)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n_out_padded), jnp.float32),
         interpret=interpret,
     )(tile_ids, col_blk, x_padded, tiles)
+    return y[:, :n_out_padded]
