@@ -54,3 +54,38 @@ def keyed_forward_sharded(knet, mesh, axis="dp"):
         return fwd(ops, xs)
 
     return f
+
+
+def shard_keynet_ops(knet, mesh, tp_axis="tp", min_tp_bytes=32 * 1024 * 1024):
+    """Place keyed matrices on the mesh with large dense layers sharded over
+    ``tp_axis`` along their contraction (n_in) dimension — e.g. keyed VGG-16
+    fc6 (4097 x 25089, 411 MB) splits column-wise; XLA inserts the psum of the
+    tp-partial products.  Everything else (tiles, index arrays, small denses)
+    replicates.  Returns the sharded ops tuple for knet._forward."""
+    from ..ops.operators import DenseOp
+
+    knet._build()
+    repl = NamedSharding(mesh, P())
+    tp = mesh.shape[tp_axis] if tp_axis in mesh.axis_names else 1
+    out = []
+    for op in knet._ops:
+        if (isinstance(op, DenseOp) and tp > 1
+                and op.W.size * 4 >= min_tp_bytes and op.W.shape[1] % tp == 0):
+            W = jax.device_put(op.W, NamedSharding(mesh, P(None, tp_axis)))
+            out.append(DenseOp(W, nnz=op.nnz()))
+        else:
+            out.append(jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), op))
+    return tuple(out)
+
+
+def keyed_forward_dp_tp(knet, mesh, dp_axis="dp", tp_axis="tp", **kwargs):
+    """Batch-parallel + tensor-parallel keyed inference over a (dp, tp) mesh."""
+    ops = shard_keynet_ops(knet, mesh, tp_axis, **kwargs)
+    fwd = knet._forward
+
+    def f(x):
+        xs = jax.device_put(jnp.asarray(x, dtype=jnp.float32),
+                            NamedSharding(mesh, P(dp_axis, None)))
+        return fwd(ops, xs)
+
+    return f

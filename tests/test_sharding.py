@@ -40,3 +40,24 @@ def test_shard_batch_placement(keyed_lenet):
     x = np.ones((16, 785), dtype=np.float32)
     xs = shard_batch(x, mesh)
     assert xs.sharding.num_devices == 8
+
+
+def test_dp_tp_keyed_forward(keyed_lenet):
+    """dp×tp mesh: batch rows shard over dp, large dense keyed matrices shard
+    column-wise over tp; result equals single-device forward."""
+    from jax.sharding import Mesh
+    from keynet_tpu.parallel import keyed_forward_dp_tp, shard_keynet_ops
+    net, sensor, knet = keyed_lenet
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 1, 28, 28)).astype(np.float32)
+    xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+    knet._build()
+    y_single = np.asarray(knet._forward(knet._ops, xc))
+    # force fc-scale shard threshold low enough that conv1 (14.8MB) tp-shards
+    ops = shard_keynet_ops(knet, mesh, min_tp_bytes=1 << 20)
+    from keynet_tpu.ops.operators import DenseOp
+    assert any(isinstance(o, DenseOp) and o.W.sharding.num_devices >= 2 for o in ops)
+    f = keyed_forward_dp_tp(knet, mesh, min_tp_bytes=1 << 20)
+    y = np.asarray(f(xc))
+    assert np.allclose(y_single, y, atol=1e-5)
