@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
     import keynet_tpu as keynet
 
-    BATCH = 1024
+    BATCH = 8192
     log("devices: %s" % jax.devices())
 
     try:
@@ -62,6 +62,7 @@ def main():
     tpu_ips = BATCH / tpu_s
     log("TPU keyed forward: %.3f ms/batch(%d) = %.0f imgs/sec"
         % (1e3 * tpu_s, BATCH, tpu_ips))
+    y_tpu_full = np.asarray(y)
 
     # ---------------- CPU scipy CSR baseline (reference execution model) ----
     import scipy.sparse
@@ -83,21 +84,42 @@ def main():
                     xT = np.maximum(xT, 0)
         return xT
 
-    xT = xc.T.copy()
-    scipy_forward(xT)  # warm
-    n_iter_cpu = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter_cpu):
-        yb = scipy_forward(xT)
-    cpu_s = (time.perf_counter() - t0) / n_iter_cpu
-    cpu_ips = BATCH / cpu_s
-    log("CPU scipy CSR forward: %.3f ms/batch(%d) = %.0f imgs/sec"
-        % (1e3 * cpu_s, BATCH, cpu_ips))
+    # give the baseline its BEST batch size (scipy CSR x dense degrades once
+    # the dense operand falls out of cache; don't let that flatter the ratio)
+    cpu_ips, yb = 0.0, None
+    for bc in (256, 1024, BATCH):
+        xT = xc[:bc].T.copy()
+        scipy_forward(xT)  # warm
+        n_iter_cpu = 3
+        t0 = time.perf_counter()
+        for _ in range(n_iter_cpu):
+            out = scipy_forward(xT)
+        ips = bc / ((time.perf_counter() - t0) / n_iter_cpu)
+        log("CPU scipy CSR forward: batch %d = %.0f imgs/sec" % (bc, ips))
+        if ips > cpu_ips:
+            cpu_ips, yb = ips, (bc, out)
+    log("CPU baseline (best batch): %.0f imgs/sec" % cpu_ips)
 
-    # sanity: same math
-    y_tpu = np.asarray(y)
-    err = np.abs(y_tpu - yb.T).max()
+    # sanity: same math (compare on the baseline's best batch)
+    bc, out = yb
+    err = np.abs(y_tpu_full[:bc] - out.T).max()
     log("TPU-vs-scipy max err: %g" % err)
+
+    # diagnostic: relaxed-precision mode (bf16 MXU passes, ~1e-4 fidelity)
+    import keynet_tpu.globals as G
+    G.GLOBAL["PRECISION"] = "default"
+    knet._forward = None
+    knet._build()
+    fwd_fast, ops_fast = knet._forward, knet._ops
+    yf = jax.block_until_ready(fwd_fast(ops_fast, xc_dev))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        yf = fwd_fast(ops_fast, xc_dev)
+    jax.block_until_ready(yf)
+    fast_ips = BATCH / ((time.perf_counter() - t0) / n_iter)
+    log("TPU keyed forward (bf16 mode): %.0f imgs/sec (%.0fx baseline)"
+        % (fast_ips, fast_ips / cpu_ips))
+    G.GLOBAL["PRECISION"] = "highest"
 
     print(json.dumps({
         "metric": "keyed_lenet_forward_imgs_per_sec",

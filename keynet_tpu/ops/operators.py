@@ -334,13 +334,17 @@ class EllOp(LinearOp):
 
     def apply(self, x):
         # x: (B, n_in); gather K slices of shape (B, n_out) and accumulate.
-        def body(k, acc):
-            return acc + self.vals[:, k][None, :] * jnp.take(x, self.cols[:, k], axis=1)
         K = self.cols.shape[1]
         y = jnp.zeros((x.shape[0], self.shape[0]), dtype=jnp.float32)
-        for k in range(K):   # K is static and small; unrolled into fused FMAs
-            y = body(k, y)
-        return y
+        if K <= 32:  # unroll small K into fused gather+FMA
+            for k in range(K):
+                y = y + self.vals[:, k][None, :] * jnp.take(x, self.cols[:, k], axis=1)
+            return y
+
+        def body(k, acc):  # large K (high-alpha keys): rolled loop, O(1) code size
+            return acc + jax.lax.dynamic_index_in_dim(self.vals, k, 1, False)[None, :] \
+                * jnp.take(x, jax.lax.dynamic_index_in_dim(self.cols, k, 1, False), axis=1)
+        return jax.lax.fori_loop(0, K, body, y)
 
     def nnz(self):
         return self._nnz
