@@ -452,6 +452,35 @@ def conv_layout_blocks(shape_chw, target_block_elems=256):
     return bh, bw
 
 
+def run_layout_perm(shape_chw, p, homogeneous=True):
+    """1-D layout: order a (C,H,W) activation as (raster-run, pos-in-run,
+    channel) for runs of p consecutive raster pixels.  This is the layout
+    under which channel-memoryorder block keys (whose blocks are p-pixel
+    raster runs, keygen blocknumel) keep keyed-conv tiles self-similar."""
+    C, H, W = shape_chw
+    npix = H * W
+    assert npix % p == 0
+    idx = np.arange(C * npix).reshape(C, npix // p, p)
+    lay = idx.transpose(1, 2, 0).reshape(-1)
+    if homogeneous:
+        lay = np.concatenate([lay, [C * npix]])
+    return lay
+
+
+def block_diag_period(A, candidates):
+    """Smallest p among candidates such that the (homogeneous) key matrix A is
+    block diagonal with p-sized blocks on its core (the trailing homogeneous
+    row/col excluded).  Returns None if no candidate fits."""
+    A = scipy.sparse.coo_matrix(A)
+    n = A.shape[0] - 1
+    core = (A.row < n) & (A.col < n)
+    r, c = A.row[core], A.col[core]
+    for p in sorted(candidates):
+        if n % p == 0 and bool(np.all(r // p == c // p)):
+            return int(p)
+    return None
+
+
 def conv_layout_perm(shape_chw, homogeneous=True, target_block_elems=256, blocks=None):
     """Layout vector (new position -> channel-major index) ordering a (C,H,W)
     activation as (pixel-block, pixel-within-block, channel) with pixel blocks

@@ -49,45 +49,80 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     rng = rng or np.random.default_rng(0)
 
     TM, TN = tileshape
-    # Matched layouts: the input pixel block is the output block scaled by
-    # stride, so one output pixel-block row advances exactly one input
-    # pixel-block row — the precondition for a constant column-block shift.
-    bh, bw = conv_layout_blocks(outshape)
-    perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
-    perm_in = conv_layout_perm(inshape, homogeneous=True,
-                               blocks=(bh * stride, bw * stride))
+    from ..layer import is_identity_key as _iik
+    _A_ident, _Ainv_ident = _iik(A), _iik(Ainv)
+
+    # Layout selection.  Default: matched 2-D pixel blocks (input block =
+    # output block scaled by stride), under which spatially-local keys tile
+    # densely.  But channel-memoryorder local keys are block-diagonal over
+    # 1-D raster RUNS of blocknumel pixels (keygen repeats the local block
+    # over the flattened pixel space); for those a run-aligned 1-D layout is
+    # the one that keeps tiles self-similar — detect the run period from the
+    # key matrices themselves.
+    run_p_out = run_p_in = None
+    if periodic_fastpath and stride == 1:
+        def _divisors(npix):
+            return [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
+        from .operators import block_diag_period
+        npix_out = outshape[1] * outshape[2]
+        npix_in = inshape[1] * inshape[2]
+        p_out = None if _A_ident else block_diag_period(A, _divisors(npix_out))
+        p_in = None if _Ainv_ident else block_diag_period(Ainv, _divisors(npix_in))
+        if (p_out or p_in) is not None:
+            run_p_out = p_out or (p_in if npix_out % (p_in or 1) == 0 else None)
+            run_p_in = p_in or (p_out if npix_in % (p_out or 1) == 0 else None)
+            if run_p_out is None or run_p_in is None \
+                    or npix_out % run_p_out or npix_in % run_p_in:
+                run_p_out = run_p_in = None
+
+    if run_p_out is not None:
+        from .operators import run_layout_perm
+        perm_out = run_layout_perm(outshape, run_p_out, homogeneous=True)
+        perm_in = run_layout_perm(inshape, run_p_in, homogeneous=True)
+        rows_per_run = run_p_out * outshape[0]
+        g = np.gcd(rows_per_run, TM)
+        strip_rows = rows_per_run * (TM // g)
+        rb_per_strip = strip_rows // TM
+        vprint("[keyed_conv_streaming]: run layout p_out=%d p_in=%d"
+               % (run_p_out, run_p_in))
+    else:
+        bh, bw = conv_layout_blocks(outshape)
+        perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
+        perm_in = conv_layout_perm(inshape, homogeneous=True,
+                                   blocks=(bh * stride, bw * stride))
+        blockrow_rows = (outshape[2] // bw) * (bh * bw * outshape[0])
+        if blockrow_rows % TM == 0 and strip_rows_target is None:
+            rb_per_strip = blockrow_rows // TM
+        else:
+            est_row_nnz = max(1, inshape[0] * weight.shape[2] * weight.shape[3])
+            tgt = strip_rows_target or max(TM, min(400_000, 24_000_000 // est_row_nnz))
+            rb_per_strip = max(1, tgt // TM)
+
     cpos = np.empty(n_in, dtype=np.int32)
     cpos[perm_in] = np.arange(n_in, dtype=np.int32)
 
     packer = StreamingBlockPacker((n_out, n_in), tileshape)
     n_rb = _cdiv(n_out, TM)
 
-    # Strip = one output pixel-block row when it covers whole row-blocks,
-    # else an nnz-bounded row count (fast path inactive then).
-    blockrow_rows = (outshape[2] // bw) * (bh * bw * outshape[0])
-    if blockrow_rows % TM == 0 and strip_rows_target is None:
-        rb_per_strip = blockrow_rows // TM
-    else:
-        est_row_nnz = max(1, inshape[0] * weight.shape[2] * weight.shape[3])
-        tgt = strip_rows_target or max(TM, min(400_000, 24_000_000 // est_row_nnz))
-        rb_per_strip = max(1, tgt // TM)
-
     from ..layer import is_identity_key
     A_ident, Ainv_ident = is_identity_key(A), is_identity_key(Ainv)
     A32 = A.astype(np.float32)
     Ainv32 = Ainv.astype(np.float32)
+    emission_cache = {}  # interior toeplitz strips shift-reuse their emission
 
     def compute_strip(rb0, nrb):
         r0 = rb0 * TM
         r1 = min(n_out, (rb0 + nrb) * TM)
         strip_rows = perm_out[r0:r1]
         if A_ident:
-            S = toeplitz_conv2d_rows(inshape, weight, bias, stride, strip_rows)
+            S = toeplitz_conv2d_rows(inshape, weight, bias, stride, strip_rows,
+                                     cache=emission_cache)
         else:
             A_strip = A32[strip_rows]
             needed = np.unique(A_strip.indices)
             S = A_strip[:, needed] @ toeplitz_conv2d_rows(inshape, weight, bias,
-                                                          stride, needed)
+                                                          stride, needed,
+                                                          cache=emission_cache)
         if not Ainv_ident:
             S = S @ Ainv32
         S = S.tocoo()
@@ -119,7 +154,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         compute_strip(rb0, nrb)
         patterns[i] = pattern_of(rb0, nrb)
         if periodic_fastpath and period is None:
-            for k in (1, 2):
+            for k in (1, 2, 4, 8):
                 if i - 2 * k >= 0 and (i - k) in patterns and (i - 2 * k) in patterns:
                     d1 = _pattern_shift(patterns[i - 2 * k], patterns[i - k], pinned_cb)
                     d2 = _pattern_shift(patterns[i - k], patterns[i], pinned_cb)

@@ -89,15 +89,42 @@ def _expand_channels(inshape, f, stride, ku_range):
             np.concatenate([p[2] for p in parts]))
 
 
-def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None):
+def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None, cache=None):
     """CSR over the generated rows only (no sort: entries are emitted in
     row-major order directly; the bias column entry is interleaved at the end
     of each row segment so no csr merge is needed).  Returns
     (row_ids_global, csr of shape (len(row_ids), C*U*V+1)) for output pixel
     rows ku in ku_range.
+
+    ``cache``: a dict reused across calls.  Interior strips (no top/bottom
+    kernel overhang) have identical structure up to a column shift of
+    stride*V per output pixel row, so their emission is materialized once and
+    shifted thereafter — the hot path for streaming non-extrapolable keys.
     """
     C, U, V = inshape
     M, _, P, Q = f.shape
+    if cache is not None:
+        hw = (P - 1) // 2
+        k0, k1 = ku_range
+        Vs = V // stride
+        interior = k0 * stride - hw >= 0 and (k1 - 1) * stride + hw < U
+        ckey = ("interior", k1 - k0)
+        if interior and ckey in cache:
+            base_k0, row_ids0, S0 = cache[ckey]
+            # identical sparsity skeleton shifted by whole pixel rows: the
+            # within-channel column index moves by stride*V per output row
+            # (never crossing a channel boundary for interior strips); the
+            # bias column (C*U*V) is pinned
+            shift = (k0 - base_k0) * stride * V
+            cols = S0.indices.copy()
+            body = cols < C * U * V
+            cols[body] += np.int32(shift)
+            S = scipy.sparse.csr_matrix((S0.data, cols, S0.indptr), shape=S0.shape)
+            return row_ids0 + (k0 - base_k0) * Vs, S
+        out = _rowmajor_block_csr(inshape, f, stride, ku_range, bias=bias, cache=None)
+        if interior:
+            cache[ckey] = (k0, out[0], out[1])
+        return out
     Us, Vs = U // stride, V // stride
     k0, k1 = ku_range
     sp_rows, sp_cols, tap = _spatial_pattern(inshape, P, Q, stride, ku_range)
@@ -141,7 +168,7 @@ def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None):
     return row_ids, S
 
 
-def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows):
+def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows, cache=None):
     """Sparse CSR holding only the given (global) output rows of the
     homogeneous conv Toeplitz matrix — the streaming-emission building block
     (rows include the bias column; the final [0..0 1] row is row M*Us*Vs).
@@ -161,7 +188,17 @@ def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows):
     if body.size:
         pix = body % (Us * Vs)
         k0, k1 = int((pix // Vs).min()), int((pix // Vs).max()) + 1
-        row_ids, S = _rowmajor_block_csr(inshape, f, stride, (k0, k1), bias=bias)
+        if cache is not None:
+            # canonicalize the range width so interior strips whose requested
+            # row sets jitter by a row or two still hit the emission cache
+            want = k1 - k0
+            width = cache.setdefault(("width",), max(want, 2))
+            if want > width:
+                width = cache[("width",)] = want
+            k1 = min(k0 + width, Us)
+            k0 = max(0, k1 - width)
+        row_ids, S = _rowmajor_block_csr(inshape, f, stride, (k0, k1), bias=bias,
+                                         cache=cache)
         pos = np.searchsorted(row_ids, body)
         assert np.array_equal(row_ids[pos], body)
         out = S[pos]
