@@ -13,7 +13,6 @@ crosstalk steps are computed for all cores at once with reshaped block views,
 so a 512x512x3 frame simulates in milliseconds.
 """
 
-import math
 import numpy as np
 
 

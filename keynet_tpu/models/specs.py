@@ -23,8 +23,8 @@ named 'xyz_bn' and directly follow 'xyz' (keynet/system.py:66-69).
 """
 
 from collections import OrderedDict
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import jax

@@ -22,9 +22,6 @@ All operators implement  apply(x) with x: (B, n_in) -> (B, n_out),
 i.e. y = x @ W^T, matching the reference's right-multiply convention.
 """
 
-from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 import scipy.sparse
 import jax

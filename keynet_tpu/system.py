@@ -8,7 +8,6 @@ as one jitted XLA program with all keyed matrices device-resident.
 """
 
 from collections import OrderedDict
-import copy
 
 import numpy as np
 import scipy.sparse

@@ -4,8 +4,9 @@ Functional spec: reference keynet/sparse.py:122-212 — a Numba nopython kernel
 that loops over every (output pixel, in-channel, kernel tap, out-channel) and
 emits one COO entry.  Here the same matrix is produced by vectorized numpy
 broadcasting over index grids: the spatial sparsity pattern is computed once
-(independent of channels) and the (out-channel, in-channel) axes are expanded
-by outer addressing, chunked to bound peak memory.  Explicit zero filter taps
+(independent of channels), the (out-channel, in-channel) axes are expanded by
+outer addressing, and the CSR is emitted pre-sorted (row-major emission order,
+no COO->CSR sort).  Explicit zero filter taps
 are *kept* as stored entries so the sparsity structure is preserved for
 channel-broadcast tiling (the reference achieves this with a +offset/-offset
 trick, keynet/sparse.py:184-186; scipy keeps explicit zeros natively when
@@ -21,9 +22,6 @@ Conventions (identical to the reference):
 
 import numpy as np
 import scipy.sparse
-
-# Cap on entries materialized per chunk while expanding channel axes.
-_CHUNK_ENTRIES = 16_000_000
 
 
 def _spatial_pattern(inshape, P, Q, stride, ku_range=None):
@@ -57,36 +55,6 @@ def _spatial_pattern(inshape, P, Q, stride, ku_range=None):
 
     m = valid.reshape(-1)
     return out_pix.reshape(-1)[m], in_pix.reshape(-1)[m], tap.reshape(-1)[m]
-
-
-def _expand_channels(inshape, f, stride, ku_range):
-    """COO triplets (global indices) for the conv Toeplitz restricted to the
-    output pixel rows in ku_range.  Expands the (M, C) channel axes over the
-    shared spatial skeleton, chunked over out-channels to bound peak memory."""
-    C, U, V = inshape
-    M, _, P, Q = f.shape
-    Us, Vs = U // stride, V // stride
-    sp_rows, sp_cols, tap = _spatial_pattern(inshape, P, Q, stride, ku_range)
-    n_sp = sp_rows.shape[0]
-    fv = f.reshape(M, C, P * Q)
-
-    chunk_m = max(1, min(M, _CHUNK_ENTRIES // max(1, C * n_sp)))
-    parts = []
-    for m0 in range(0, M, chunk_m):
-        m1 = min(M, m0 + chunk_m)
-        mm = np.arange(m0, m1, dtype=np.int64)
-        rows = (mm[:, None, None] * (Us * Vs) + sp_rows[None, None, :])
-        cols = (np.arange(C, dtype=np.int64)[None, :, None] * (U * V) + sp_cols[None, None, :])
-        vals = fv[m0:m1][:, :, tap]
-        shape = (m1 - m0, C, n_sp)
-        parts.append((
-            np.broadcast_to(rows, shape).reshape(-1).astype(np.int64),
-            np.broadcast_to(cols, shape).reshape(-1).astype(np.int64),
-            vals.reshape(-1).astype(np.float32),
-        ))
-    return (np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]))
 
 
 def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None, cache=None):

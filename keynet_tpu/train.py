@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .models.specs import Model, Conv2d, Linear, BatchNorm2d
+from .models.specs import Linear
 
 
 def log_softmax_nll(logits, labels):
