@@ -83,8 +83,18 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         g = np.gcd(rows_per_run, TM)
         strip_rows = rows_per_run * (TM // g)
         rb_per_strip = strip_rows // TM
-        vprint("[keyed_conv_streaming]: run layout p_out=%d p_in=%d"
-               % (run_p_out, run_p_in))
+        # Deep layers can have one run = the whole image (blocknumel == H*W),
+        # making a single enormous strip: cap by nnz while keeping strips both
+        # row-block- AND pixel-aligned (layout rows iterate channel fastest, so
+        # one pixel = C_out rows) — extrapolation can still lock along the run
+        # since the Toeplitz pattern shifts uniformly with pixel position.
+        est_row_nnz = max(1, inshape[0] * weight.shape[2] * weight.shape[3])
+        cap_rb = max(1, 32_000_000 // (est_row_nnz * TM))
+        if rb_per_strip > cap_rb:
+            rb_quantum = np.lcm(outshape[0], TM) // TM  # row-blocks per whole pixel
+            rb_per_strip = max(rb_quantum, (cap_rb // rb_quantum) * rb_quantum)
+        vprint("[keyed_conv_streaming]: run layout p_out=%d p_in=%d rb/strip=%d"
+               % (run_p_out, run_p_in, rb_per_strip))
     else:
         bh, bw = conv_layout_blocks(outshape)
         perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
@@ -109,6 +119,19 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     A32 = A.astype(np.float32)
     Ainv32 = Ainv.astype(np.float32)
     emission_cache = {}  # interior toeplitz strips shift-reuse their emission
+    wcache = {}  # last W slice, keyed by the needed-row set: consecutive
+    # strips inside one key block (e.g. whole-image blocknumel) share it
+
+    def _W_rows(needed):
+        key = (needed[0], needed[-1], len(needed))
+        hit = wcache.get(key)
+        if hit is not None and np.array_equal(hit[0], needed):
+            return hit[1]
+        W = toeplitz_conv2d_rows(inshape, weight, bias, stride, needed,
+                                 cache=emission_cache)
+        wcache.clear()
+        wcache[key] = (needed, W)
+        return W
 
     def compute_strip(rb0, nrb):
         r0 = rb0 * TM
@@ -120,9 +143,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         else:
             A_strip = A32[strip_rows]
             needed = np.unique(A_strip.indices)
-            S = A_strip[:, needed] @ toeplitz_conv2d_rows(inshape, weight, bias,
-                                                          stride, needed,
-                                                          cache=emission_cache)
+            S = A_strip[:, needed] @ _W_rows(needed)
         if not Ainv_ident:
             S = S @ Ainv32
         S = S.tocoo()
