@@ -17,6 +17,7 @@ Quickstart (mirrors the reference README):
 
 from .version import __version__
 from . import globals
+globals.tune_allocator()  # warm-heap allocator policy (see globals.tune_allocator)
 from . import util
 from . import homogeneous
 from . import toeplitz

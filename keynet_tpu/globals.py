@@ -20,7 +20,38 @@ GLOBAL = {
     # reference's exact-equivalence contract, test_keynet.py:33 atol 1e-5);
     # 'default' = bf16 passes (~4-8x faster, atol ~1e-4 on LeNet-scale).
     "PRECISION": "highest",
+    # keep freed large buffers on the process heap instead of returning pages
+    # to the OS (see tune_allocator below); disable with KEYNET_TPU_MALLOPT=0
+    "MALLOPT": True,
 }
+
+
+def tune_allocator():
+    """Keep large freed buffers on the glibc heap (warm pages) instead of
+    munmap-ing them back to the OS.
+
+    Host-side conversion (Toeplitz emission, strip spgemm, packing) churns
+    multi-GB numpy temporaries.  glibc serves >128 KB allocations with fresh
+    mmaps and returns them on free, so every temporary pays first-touch page
+    faults — measured ~110 MB/s on the target VM versus 6-16 GB/s for warm
+    pages (a 60x slowdown on emission-bound layers).  Raising M_TRIM_THRESHOLD
+    and disabling per-allocation mmap keeps the arena warm across strips.
+    Trade-off: process RSS stays at its high-water mark; fine for conversion
+    workloads, opt out with KEYNET_TPU_MALLOPT=0.
+    """
+    import os
+    if os.environ.get("KEYNET_TPU_MALLOPT", "1") == "0" or not GLOBAL["MALLOPT"]:
+        return False
+    try:
+        import ctypes
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD, M_MMAP_MAX = -1, -3, -4
+        ok = libc.mallopt(M_TRIM_THRESHOLD, ctypes.c_int(2**31 - 1))
+        ok &= libc.mallopt(M_MMAP_THRESHOLD, ctypes.c_int(2**31 - 1))
+        ok &= libc.mallopt(M_MMAP_MAX, ctypes.c_int(0))
+        return bool(ok)
+    except Exception:
+        return False
 
 
 def precision(p=None):

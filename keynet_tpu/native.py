@@ -13,6 +13,7 @@ try:
 
     pack_strip = _native.pack_strip
     tile_hashes = _native.tile_hashes
+    toeplitz_fill = getattr(_native, "toeplitz_fill", None)  # None: stale build
 except ImportError:  # pragma: no cover - exercised when ext is not built
     _native = None
 
@@ -21,3 +22,4 @@ except ImportError:  # pragma: no cover - exercised when ext is not built
 
     pack_strip = None
     tile_hashes = None
+    toeplitz_fill = None

@@ -115,14 +115,25 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     n_rb = _cdiv(n_out, TM)
 
     from ..layer import is_identity_key
+    from .. import native as _native
     A_ident, Ainv_ident = is_identity_key(A), is_identity_key(Ainv)
     A32 = A.astype(np.float32)
     Ainv32 = Ainv.astype(np.float32)
-    emission_cache = {}  # interior toeplitz strips shift-reuse their emission
+    # Native single-pass emission writes into one reused warm buffer pool
+    # (first-touch page faults are the dominant conversion cost on the target
+    # VM); the emitted CSR is consumed within the same strip iteration, so the
+    # shift/W caches of the numpy fallback are unnecessary there.
+    use_pool = _native.toeplitz_fill is not None \
+        and n_in <= np.iinfo(np.int32).max
+    pool = {} if use_pool else None
+    emission_cache = None if use_pool else {}  # interior strips shift-reuse emission
     wcache = {}  # last W slice, keyed by the needed-row set: consecutive
     # strips inside one key block (e.g. whole-image blocknumel) share it
 
     def _W_rows(needed):
+        if use_pool:
+            return toeplitz_conv2d_rows(inshape, weight, bias, stride, needed,
+                                        pool=pool)
         key = (needed[0], needed[-1], len(needed))
         hit = wcache.get(key)
         if hit is not None and np.array_equal(hit[0], needed):
@@ -139,14 +150,14 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         strip_rows = perm_out[r0:r1]
         if A_ident:
             S = toeplitz_conv2d_rows(inshape, weight, bias, stride, strip_rows,
-                                     cache=emission_cache)
+                                     cache=emission_cache, pool=pool)
         else:
             A_strip = A32[strip_rows]
             needed = np.unique(A_strip.indices)
             S = A_strip[:, needed] @ _W_rows(needed)
         if not Ainv_ident:
             S = S @ Ainv32
-        S = S.tocoo()
+        S = S.tocoo(copy=False)  # consumed immediately; may alias pool buffers
         packer.add_strip(S.row.astype(np.int32) + np.int32(r0), cpos[S.col], S.data)
 
     def pattern_of(rb0, nrb):

@@ -23,6 +23,66 @@ Conventions (identical to the reference):
 import numpy as np
 import scipy.sparse
 
+from . import native
+
+
+def _pool_buffer(pool, name, dtype, size, growth=1.25):
+    """Reused emission buffer: grown geometrically, never shrunk.  Keeping the
+    buffers warm matters more than their size on the target VM — first-touch
+    page faults run ~60x slower than warm writes (see globals.tune_allocator).
+    """
+    buf = pool.get(name)
+    if buf is None or buf.size < size:
+        buf = np.empty(int(max(size, (buf.size if buf is not None else 0) * growth)),
+                       dtype=dtype)
+        pool[name] = buf
+    return buf
+
+
+def _toeplitz_rows_native(inshape, f, bias, stride, out_rows, pool=None):
+    """Single-pass C++ CSR emission of the requested Toeplitz rows
+    (native/packer.cpp toeplitz_fill).  ``pool``: optional dict of reused
+    buffers — the returned CSR then *aliases* pool memory and is only valid
+    until the next pooled call (the streaming strip loop's contract).
+    """
+    C, U, V = inshape
+    M, _, P, Q = f.shape
+    Us, Vs = U // stride, V // stride
+    n_body, n_in = M * Us * Vs, C * U * V
+    out_rows = np.ascontiguousarray(out_rows, dtype=np.int64)
+
+    # exact stored-entry count (valid taps per requested row)
+    hp, hq = (P - 1) // 2, (Q - 1) // 2
+    ku = np.arange(Us, dtype=np.int64) * stride
+    kv = np.arange(Vs, dtype=np.int64) * stride
+    nu = np.minimum(U, ku - hp + P) - np.maximum(0, ku - hp)
+    nv = np.minimum(V, kv - hq + Q) - np.maximum(0, kv - hq)
+    body = out_rows < n_body
+    pix = np.where(body, out_rows % (Us * Vs), 0)
+    counts = np.where(body, nu[pix // Vs] * nv[pix % Vs] * C
+                      + (1 if bias is not None else 0), 1)
+    total = int(counts.sum())
+
+    fT = np.ascontiguousarray(np.moveaxis(
+        np.asarray(f, dtype=np.float32).reshape(M, C, P * Q), 1, 2))
+    bias32 = None if bias is None \
+        else np.ascontiguousarray(np.asarray(bias, dtype=np.float32).reshape(-1))
+    n_rows = out_rows.shape[0]
+    if pool is None:
+        cols = np.empty(total, dtype=np.int32)
+        vals = np.empty(total, dtype=np.float32)
+        indptr = np.empty(n_rows + 1, dtype=np.int64)
+    else:
+        cols = _pool_buffer(pool, "cols", np.int32, total)
+        vals = _pool_buffer(pool, "vals", np.float32, total)
+        indptr = _pool_buffer(pool, "indptr", np.int64, n_rows + 1)
+    wrote = native.toeplitz_fill(out_rows, fT, bias32, U, V, stride,
+                                 cols, vals, indptr)
+    assert wrote == total, (wrote, total)
+    S = scipy.sparse.csr_matrix((vals[:total], cols[:total], indptr[:n_rows + 1]),
+                                shape=(n_rows, n_in + 1))
+    return S
+
 
 def _spatial_pattern(inshape, P, Q, stride, ku_range=None):
     """Spatial COO skeleton shared by every (out-channel, in-channel) pair.
@@ -136,15 +196,20 @@ def _rowmajor_block_csr(inshape, f, stride, ku_range, bias=None, cache=None):
     return row_ids, S
 
 
-def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows, cache=None):
+def toeplitz_conv2d_rows(inshape, f, bias, stride, out_rows, cache=None, pool=None):
     """Sparse CSR holding only the given (global) output rows of the
     homogeneous conv Toeplitz matrix — the streaming-emission building block
     (rows include the bias column; the final [0..0 1] row is row M*Us*Vs).
 
-    out_rows may be any subset; generation is restricted to the covering
-    output-pixel-row range and emitted pre-sorted (no COO->CSR sort).
+    out_rows may be any subset in any order.  With the native extension the
+    rows are emitted by a single-pass C++ fill (optionally into pooled reused
+    buffers — see _toeplitz_rows_native for the aliasing contract); the numpy
+    fallback generates the covering output-pixel-row range and slices.
     """
     f = np.asarray(f, dtype=np.float32)
+    if native.toeplitz_fill is not None \
+            and int(np.prod(inshape)) + 1 <= np.iinfo(np.int32).max:
+        return _toeplitz_rows_native(inshape, f, bias, stride, out_rows, pool=pool)
     C, U, V = inshape
     M, _, P, Q = f.shape
     Us, Vs = U // stride, V // stride
@@ -218,6 +283,16 @@ def toeplitz_conv2d(inshape, f, bias=None, stride=1, format="csr"):
         assert bias.shape[0] == M
     Us, Vs = U // stride, V // stride
     n_out, n_in = M * Us * Vs, C * U * V
+
+    if native.toeplitz_fill is not None and n_in + 1 <= np.iinfo(np.int32).max:
+        rows = np.arange(n_out + (1 if bias is not None else 0), dtype=np.int64)
+        S = _toeplitz_rows_native(inshape, f, bias, stride, rows)
+        if bias is None:
+            # no bias entries were emitted, so the (n_out, n_in+1) CSR can be
+            # reinterpreted as the plain (n_out, n_in) conv matrix
+            S = scipy.sparse.csr_matrix((S.data, S.indices, S.indptr),
+                                        shape=(n_out, n_in))
+        return S.asformat(format) if format != "csr" else S
 
     _, S = _rowmajor_block_csr(inshape, f, stride, (0, Us))  # pre-sorted CSR
 

@@ -12,6 +12,7 @@
 #include <Python.h>
 #include <numpy/arrayobject.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -142,10 +143,143 @@ PyObject* tile_hashes(PyObject*, PyObject* args) {
     return out;
 }
 
+// Single-pass Toeplitz CSR emission for a requested set of output rows.
+// Replaces the multi-pass numpy broadcasting path (keynet_tpu/toeplitz.py
+// _rowmajor_block_csr): on the target VM, first-touch page faults on the
+// ~8 GB of numpy temporaries per strip run at ~110 MB/s, so emission must be
+// one pass into preallocated (pooled, warm) buffers.  Entry order per row
+// matches the numpy path exactly: spatial taps (dp,dq) outer, channel inner,
+// bias column last; a requested homogeneous row (r >= M*Us*Vs) is the single
+// entry [n_in]=1.
+static int64_t toeplitz_fill_loop(const int64_t* rows, int64_t n_rows,
+                                  const float* fT, const float* bias,
+                                  int64_t M, int64_t C, int64_t U, int64_t V,
+                                  int64_t P, int64_t Q, int64_t stride,
+                                  int64_t cap, int32_t* cols, float* vals,
+                                  int64_t* indptr) {
+    const int64_t Us = U / stride, Vs = V / stride, UV = U * V;
+    const int64_t n_body = M * Us * Vs, n_in = C * UV;
+    const int64_t hp = (P - 1) / 2, hq = (Q - 1) / 2;
+    int64_t pos = 0;
+    indptr[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t r = rows[i];
+        if (r >= n_body) {  // homogeneous row
+            if (pos + 1 > cap) return -1;
+            cols[pos] = (int32_t)n_in;
+            vals[pos] = 1.0f;
+            ++pos;
+            indptr[i + 1] = pos;
+            continue;
+        }
+        const int64_t m = r / (Us * Vs), pix = r % (Us * Vs);
+        const int64_t ku = pix / Vs, kv = pix % Vs;
+        // exact per-row bound: valid tap count * C + bias entry
+        const int64_t u0 = ku * stride - hp, v0 = kv * stride - hq;
+        const int64_t nu = std::min(U, u0 + P) - std::max((int64_t)0, u0);
+        const int64_t nv = std::min(V, v0 + Q) - std::max((int64_t)0, v0);
+        if (pos + nu * nv * C + (bias ? 1 : 0) > cap) return -1;
+        for (int64_t dp = 0; dp < P; ++dp) {
+            const int64_t u = ku * stride + dp - hp;
+            if (u < 0 || u >= U) continue;
+            for (int64_t dq = 0; dq < Q; ++dq) {
+                const int64_t v = kv * stride + dq - hq;
+                if (v < 0 || v >= V) continue;
+                const int32_t base = (int32_t)(u * V + v);
+                const float* fv = fT + ((size_t)m * (P * Q) + dp * Q + dq) * C;
+                for (int64_t c = 0; c < C; ++c) {
+                    cols[pos] = base + (int32_t)(c * UV);
+                    vals[pos] = fv[c];
+                    ++pos;
+                }
+            }
+        }
+        if (bias) {
+            cols[pos] = (int32_t)n_in;
+            vals[pos] = bias[m];
+            ++pos;
+        }
+        indptr[i + 1] = pos;
+    }
+    return pos;
+}
+
+// toeplitz_fill(rows int64[n], fT f32[M,P*Q,C], bias f32[M]|None,
+//               U, V, stride, cols int32[cap] out, vals f32[cap] out,
+//               indptr int64[n+1] out) -> total stored entries
+PyObject* toeplitz_fill(PyObject*, PyObject* args) {
+    PyArrayObject *rows_o, *ft_o, *cols_o, *vals_o, *indptr_o;
+    PyObject* bias_obj;
+    long U, V, stride;
+    if (!PyArg_ParseTuple(args, "O!O!OlllO!O!O!", &PyArray_Type, &rows_o,
+                          &PyArray_Type, &ft_o, &bias_obj, &U, &V, &stride,
+                          &PyArray_Type, &cols_o, &PyArray_Type, &vals_o,
+                          &PyArray_Type, &indptr_o))
+        return nullptr;
+    PyArrayObject* bias_o = nullptr;
+    if (bias_obj != Py_None) {
+        if (!PyArray_Check(bias_obj)) {
+            PyErr_SetString(PyExc_TypeError, "bias must be ndarray or None");
+            return nullptr;
+        }
+        bias_o = (PyArrayObject*)bias_obj;
+    }
+    if (PyArray_TYPE(rows_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(rows_o) ||
+        PyArray_TYPE(ft_o) != NPY_FLOAT32 || !PyArray_IS_C_CONTIGUOUS(ft_o) ||
+        PyArray_NDIM(ft_o) != 3 ||
+        (bias_o && (PyArray_TYPE(bias_o) != NPY_FLOAT32 ||
+                    !PyArray_IS_C_CONTIGUOUS(bias_o))) ||
+        PyArray_TYPE(cols_o) != NPY_INT32 || !PyArray_IS_C_CONTIGUOUS(cols_o) ||
+        PyArray_TYPE(vals_o) != NPY_FLOAT32 || !PyArray_IS_C_CONTIGUOUS(vals_o) ||
+        PyArray_TYPE(indptr_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(indptr_o)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expect rows int64, fT f32[M,PQ,C], bias f32|None, "
+                        "cols int32, vals f32, indptr int64 (all contiguous)");
+        return nullptr;
+    }
+    const int64_t n_rows = (int64_t)PyArray_SIZE(rows_o);
+    const int64_t M = PyArray_DIM(ft_o, 0), PQ = PyArray_DIM(ft_o, 1),
+                  C = PyArray_DIM(ft_o, 2);
+    // P==Q odd square kernels only (matches toeplitz_conv2d's contract)
+    int64_t P = 1;
+    while (P * P < PQ) ++P;
+    if (P * P != PQ) {
+        PyErr_SetString(PyExc_ValueError, "fT second dim must be P*P (square kernel)");
+        return nullptr;
+    }
+    if (PyArray_SIZE(indptr_o) < n_rows + 1) {
+        PyErr_SetString(PyExc_ValueError, "indptr too small");
+        return nullptr;
+    }
+    // capacity is bounds-checked exactly per row inside the fill loop
+    const int64_t cap = std::min((int64_t)PyArray_SIZE(cols_o),
+                                 (int64_t)PyArray_SIZE(vals_o));
+    if ((int64_t)C * U * V + 1 > INT32_MAX) {
+        PyErr_SetString(PyExc_ValueError, "n_in exceeds int32 column range");
+        return nullptr;
+    }
+    int64_t total = 0;
+    Py_BEGIN_ALLOW_THREADS
+    total = toeplitz_fill_loop(
+        (const int64_t*)PyArray_DATA(rows_o), n_rows,
+        (const float*)PyArray_DATA(ft_o),
+        bias_o ? (const float*)PyArray_DATA(bias_o) : nullptr, M, C, U, V, P, P,
+        stride, cap, (int32_t*)PyArray_DATA(cols_o),
+        (float*)PyArray_DATA(vals_o), (int64_t*)PyArray_DATA(indptr_o));
+    Py_END_ALLOW_THREADS
+    if (total < 0) {
+        PyErr_SetString(PyExc_ValueError, "cols/vals capacity exceeded");
+        return nullptr;
+    }
+    return PyLong_FromLongLong((long long)total);
+}
+
 PyMethodDef methods[] = {
     {"pack_strip", pack_strip, METH_VARARGS,
      "scatter a row-sorted COO strip into (pairs, dense tiles)"},
     {"tile_hashes", tile_hashes, METH_VARARGS, "content hash per tile"},
+    {"toeplitz_fill", toeplitz_fill, METH_VARARGS,
+     "single-pass CSR emission of requested Toeplitz conv rows"},
     {nullptr, nullptr, 0, nullptr},
 };
 

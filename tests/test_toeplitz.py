@@ -74,3 +74,58 @@ def test_toeplitz_avgpool2d_matches_oracles(inshape, k, stride):
     y_jax = np.asarray(avgpool2d_apply(jnp.asarray(x), k, stride)).reshape(-1)
     assert np.allclose(y_mat, y_np, atol=1e-5)
     assert np.allclose(y_mat, y_jax, atol=1e-5)
+
+
+# ---------------------------------------------------------------- native parity
+
+@pytest.mark.skipif(not __import__("keynet_tpu.native", fromlist=["native"]).available()
+                    or __import__("keynet_tpu.native", fromlist=["native"]).toeplitz_fill is None,
+                    reason="native extension not built")
+@pytest.mark.parametrize("inshape,M,k,stride,bias", [
+    ((2, 8, 8), 3, 3, 1, True),
+    ((2, 8, 8), 3, 3, 2, True),
+    ((3, 9, 9), 4, 5, 1, False),
+    ((2, 6, 6), 2, 1, 1, True),
+])
+def test_toeplitz_rows_native_matches_numpy(inshape, M, k, stride, bias):
+    """The C++ single-pass emitter (native/packer.cpp toeplitz_fill) must
+    reproduce the numpy fallback exactly — values AND stored structure (explicit
+    zero taps included) — for sorted, scattered, and homogeneous-row requests,
+    with and without pooled buffers."""
+    from keynet_tpu.toeplitz import _toeplitz_rows_native, toeplitz_conv2d_rows
+    import keynet_tpu.toeplitz as T
+    import scipy.sparse
+
+    rng = np.random.default_rng(11)
+    C = inshape[0]
+    f = rng.normal(size=(M, C, k, k)).astype(np.float32)
+    f[0, 0, 0, 0] = 0.0  # explicit zero tap must be stored
+    b = rng.normal(size=M).astype(np.float32) if bias else None
+    Us, Vs = inshape[1] // stride, inshape[2] // stride
+    n_out = M * Us * Vs
+
+    def fallback(rows):
+        fill = T.native.toeplitz_fill
+        T.native.toeplitz_fill = None
+        try:
+            return toeplitz_conv2d_rows(inshape, f, b, stride, rows)
+        finally:
+            T.native.toeplitz_fill = fill
+
+    pool = {}
+    for rows in [np.arange(n_out + 1),                     # all + homogeneous
+                 np.arange(7, 7 + min(40, n_out)),         # contiguous interior
+                 rng.permutation(n_out)[:max(5, n_out // 3)],  # scattered
+                 np.array([n_out])]:                       # homogeneous only
+        S_native = _toeplitz_rows_native(inshape, f, b, stride, rows)
+        S_pooled = _toeplitz_rows_native(inshape, f, b, stride, rows, pool=pool)
+        S_ref = fallback(rows)
+        for S in (S_native, S_pooled):
+            assert S.shape == S_ref.shape
+            # same stored structure after canonical ordering
+            a, r = S.copy(), S_ref.copy()
+            a.sort_indices(), r.sort_indices()
+            assert a.nnz == r.nnz
+            assert np.array_equal(a.indptr, r.indptr)
+            assert np.array_equal(a.indices, r.indices)
+            assert np.array_equal(a.data, r.data)
