@@ -36,7 +36,8 @@ from .operators import (BlockSparseOp, PermutedBlockSparseOp, StreamingBlockPack
 
 def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                          tileshape=(128, 128), strip_rows_target=None,
-                         periodic_fastpath=True, rng=None):
+                         periodic_fastpath=True, rng=None,
+                         strip_nnz_cap=32_000_000):
     """Build PermutedBlockSparseOp for Ŵ = A·toeplitz(weight,bias)·A⁻¹ without
     materializing Ŵ.  A, A⁻¹: homogeneous scipy CSR keys ((N_out+1)², (N_in+1)²).
     See the module docstring for the strip/periodicity scheme.
@@ -75,6 +76,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                     or npix_out % run_p_out or npix_in % run_p_in:
                 run_p_out = run_p_in = None
 
+    k_cands = (1, 2, 4, 8)
+    near_end_strips = 2
     if run_p_out is not None:
         from .operators import run_layout_perm
         perm_out = run_layout_perm(outshape, run_p_out, homogeneous=True)
@@ -89,12 +92,55 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         # one pixel = C_out rows) — extrapolation can still lock along the run
         # since the Toeplitz pattern shifts uniformly with pixel position.
         est_row_nnz = max(1, inshape[0] * weight.shape[2] * weight.shape[3])
-        cap_rb = max(1, 32_000_000 // (est_row_nnz * TM))
+        cap_rb = max(1, strip_nnz_cap // (est_row_nnz * TM))
         if rb_per_strip > cap_rb:
+            rb_period = rb_per_strip
             rb_quantum = np.lcm(outshape[0], TM) // TM  # row-blocks per whole pixel
-            rb_per_strip = max(rb_quantum, (cap_rb // rb_quantum) * rb_quantum)
-        vprint("[keyed_conv_streaming]: run layout p_out=%d p_in=%d rb/strip=%d"
-               % (run_p_out, run_p_in, rb_per_strip))
+            # prefer a strip count that divides the run period evenly: then
+            # run-period extrapolation (k = strips per period) can lock even
+            # though one run spans many strips (e.g. VGG conv4: 784 rb/run,
+            # cap 54 -> 28 rb/strip, k = 28)
+            divs = [d for d in range(rb_quantum, cap_rb + 1, rb_quantum)
+                    if rb_period % d == 0]
+            rb_per_strip = divs[-1] if divs \
+                else max(rb_quantum, (cap_rb // rb_quantum) * rb_quantum)
+        # bottom kernel overhang (+ homogeneous row) must never be extrapolated:
+        # those rows drop taps, so their tiles differ from interior strips.
+        # With a non-identity output key the A-side mixing spreads boundary row
+        # content across the ENTIRE last key period, so every strip overlapping
+        # the last run that contains a boundary pixel must be computed exactly.
+        hw = weight.shape[2] // 2
+        bnd_pix = _cdiv(hw, stride) * outshape[2]
+        npix_out_l = outshape[1] * outshape[2]
+        if _A_ident:
+            bnd_rows = bnd_pix * outshape[0] + 1
+        else:
+            safe_pix = ((npix_out_l - bnd_pix) // run_p_out) * run_p_out
+            bnd_rows = (npix_out_l - safe_pix) * outshape[0] + 1
+        near_end_strips = max(2, _cdiv(_cdiv(bnd_rows, TM), rb_per_strip) + 1)
+        # run-period lock candidate: the smallest k whose pixel advance is a
+        # whole number of key periods AND whole image pixel rows (otherwise the
+        # left/right edge-clipped Toeplitz pattern falls out of phase)
+        adv_pix = rb_per_strip * TM // outshape[0]  # pixels per strip (aligned)
+        L = int(np.lcm(run_p_out, outshape[2]))
+        k_run = L // int(np.gcd(adv_pix, L))
+        if 2 * k_run + near_end_strips < _cdiv(_cdiv(n_out, TM), rb_per_strip):
+            k_cands = tuple(sorted(set(k_cands) | {k_run, 2 * k_run}))
+        # soundness gate: a lock (k, delta) is accepted only when the keys are
+        # verified exactly run-periodic AND k strips advance a whole number of
+        # key periods — otherwise intra-run pattern coincidences (sparse local
+        # keys whose strips are mostly identity rows) could extrapolate wrongly
+        # with only probabilistic sample-verification as the net.
+        keys_periodic = ((_A_ident or _key_blocks_identical(A, run_p_out))
+                         and (_Ainv_ident or _key_blocks_identical(Ainv, run_p_in)))
+        if keys_periodic:
+            k_cands = tuple(k for k in k_cands if (adv_pix * k) % run_p_out == 0)
+        else:
+            k_cands = ()
+        vprint("[keyed_conv_streaming]: run layout p_out=%d p_in=%d rb/strip=%d "
+               "k_cands=%s near_end=%d keys_periodic=%s"
+               % (run_p_out, run_p_in, rb_per_strip, k_cands, near_end_strips,
+                  keys_periodic))
     else:
         bh, bw = conv_layout_blocks(outshape)
         perm_out = conv_layout_perm(outshape, homogeneous=True, blocks=(bh, bw))
@@ -171,7 +217,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     extrapolated = []
     for i, rb0 in enumerate(strips):
         nrb = min(rb_per_strip, n_rb - rb0)
-        near_end = i >= n_strips - 2  # bottom boundary + homogeneous row
+        near_end = i >= n_strips - near_end_strips  # bottom boundary + hom row
         if (periodic_fastpath and period is not None and not near_end
                 and nrb == rb_per_strip and (i - period) >= 0
                 and strips[i - period] == rb0 - period * rb_per_strip):
@@ -186,7 +232,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         compute_strip(rb0, nrb)
         patterns[i] = pattern_of(rb0, nrb)
         if periodic_fastpath and period is None:
-            for k in (1, 2, 4, 8):
+            for k in k_cands:
                 if i - 2 * k >= 0 and (i - k) in patterns and (i - 2 * k) in patterns:
                     d1 = _pattern_shift(patterns[i - 2 * k], patterns[i - k], pinned_cb)
                     d2 = _pattern_shift(patterns[i - k], patterns[i], pinned_cb)
@@ -224,8 +270,48 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     inner = packer.finalize()
     rpos = np.empty(n_out, dtype=np.int64)
     rpos[perm_out] = np.arange(n_out)
-    return PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
-                                 jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in))
+    op = PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
+                               jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in))
+    op.streaming_stats = {"strips": n_strips, "extrapolated": len(extrapolated),
+                          "period": period, "unique_tiles": packer.n_unique()}
+    return op
+
+
+def _key_blocks_identical(A, p):
+    """True iff the homogeneous key matrix A is *exactly* periodic in p-sized
+    index blocks: core block-diagonal with all diagonal blocks identical
+    (indices and values) and a p-periodic bias column.  This is the structural
+    condition under which strip extrapolation is provably correct (interior
+    Toeplitz rows shift uniformly, and a whole-period advance maps key rows
+    onto identical key rows), turning the periodic fast path from
+    sample-verified into verified-by-construction.
+    """
+    A = scipy.sparse.coo_matrix(A)
+    n = A.shape[0] - 1
+    if p <= 0 or n % p:
+        return False
+    core = (A.row < n) & (A.col < n)
+    r, c, v = A.row[core], A.col[core], A.data[core]
+    b = r // p
+    if np.any(b != c // p):
+        return False
+    rr, cc = r - b * p, c - b * p
+    order = np.lexsort((cc, rr, b))
+    b, rr, cc, v = b[order], rr[order], cc[order], v[order]
+    counts = np.bincount(b, minlength=n // p)
+    if not (counts == counts[0]).all():
+        return False
+    k = int(counts[0])
+    if k == 0:
+        return True
+    rr, cc, v = rr.reshape(-1, k), cc.reshape(-1, k), v.reshape(-1, k)
+    if not ((rr == rr[0]).all() and (cc == cc[0]).all() and (v == v[0]).all()):
+        return False
+    bias = np.zeros(n, dtype=A.data.dtype)
+    m = (A.col == n) & (A.row < n)
+    bias[A.row[m]] = A.data[m]
+    bv = bias.reshape(-1, p)
+    return bool((bv == bv[0]).all())
 
 
 def _pattern_shift(prev_pat, pat, pinned_cb):

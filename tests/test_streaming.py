@@ -1,0 +1,112 @@
+"""Streaming keyed-conv emission: exactness against the dense key sandwich and
+soundness of the run-period extrapolation fast path (keynet_tpu/ops/streaming.py).
+
+The reference materializes every keyed conv (keynet/layer.py:32); streaming is
+this build's VGG-scale replacement, so it gets direct unit coverage at small
+shapes with a forced strip cap.
+"""
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+import pytest
+
+from keynet_tpu import keys
+from keynet_tpu.ops.streaming import keyed_conv_streaming, _key_blocks_identical
+from keynet_tpu.toeplitz import toeplitz_conv2d
+
+
+def _exact_sandwich(shape, w, b, stride, A, Ainv, x):
+    W = toeplitz_conv2d(shape, w, bias=b, stride=stride)
+    A32 = scipy.sparse.csr_matrix(A, dtype=np.float32)
+    Ainv32 = scipy.sparse.csr_matrix(Ainv, dtype=np.float32)
+    return (A32 @ W @ Ainv32) @ x
+
+
+def _case(shape, keycfg, cap, seed=0):
+    rng = np.random.default_rng(seed)
+    C = shape[0]
+    w = (rng.standard_normal((C, C, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(C) * 0.1).astype(np.float32)
+    A, Ainv = keys.keygen(shape, seed=seed + 1, **keycfg)
+    op = keyed_conv_streaming(shape, shape, w, b, 1, A, Ainv, strip_nnz_cap=cap)
+    x = rng.standard_normal(int(np.prod(shape))).astype(np.float32)
+    xh = np.concatenate([x, [1.0]]).astype(np.float32)
+    ref = _exact_sandwich(shape, w, b, 1, A, Ainv, xh)
+    got = np.asarray(op.apply(jnp.asarray(xh[None])))[0]
+    return op, got, ref
+
+
+def test_capped_run_extrapolation_engages_and_is_exact():
+    """Multi-strip runs (strip cap << run nnz) must still lock the run period
+    (divisor-aligned strips + k_run candidate) and extrapolate exactly."""
+    cfg = dict(local_geometric="givens_orthogonal", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    op, got, ref = _case((8, 56, 56), cfg, cap=100_000)
+    assert op.streaming_stats["extrapolated"] > 0, op.streaming_stats
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_sparse_local_key_no_false_intra_run_lock():
+    """alpha=1 Givens keys leave most strips pure-identity: without the
+    key-periodicity gate, consecutive intra-run strips pattern-match at k=1 and
+    mixed strips get extrapolated wrongly.  The gate restricts locks to
+    whole-key-period advances, so the result must stay exact."""
+    cfg = dict(local_geometric="givens_orthogonal", alpha=1, blocksize=14)
+    op, got, ref = _case((8, 56, 56), cfg, cap=100_000)
+    if op.streaming_stats["extrapolated"]:
+        adv = op.streaming_stats["period"]
+        assert adv is not None
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_nonperiodic_key_disables_extrapolation():
+    """A global per-row random photometric factor breaks block periodicity:
+    the gate must turn extrapolation off entirely (and stay exact)."""
+    cfg = dict(local_geometric="givens_orthogonal", alpha=2, blocksize=14,
+               global_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    op, got, ref = _case((8, 56, 56), cfg, cap=100_000)
+    assert op.streaming_stats["extrapolated"] == 0
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_whole_image_block_key_exact():
+    """blocknumel == whole image (the VGG conv5 regime): one run, nothing to
+    extrapolate, strip cap bounds memory; result must be exact."""
+    cfg = dict(local_geometric="givens_orthogonal", alpha=8, blocksize=14)
+    op, got, ref = _case((8, 14, 14), cfg, cap=60_000)
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+@pytest.mark.parametrize("stride", [2])
+def test_strided_conv_streaming_exact(stride):
+    rng = np.random.default_rng(3)
+    shape = (4, 28, 28)
+    out = (6, 14, 14)
+    w = (rng.standard_normal((6, 4, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(6) * 0.1).astype(np.float32)
+    n_out, n_in = int(np.prod(out)) + 1, int(np.prod(shape)) + 1
+    A = scipy.sparse.identity(n_out, format="csr")
+    Ainv = scipy.sparse.identity(n_in, format="csr")
+    op = keyed_conv_streaming(shape, out, w, b, stride, A, Ainv, strip_nnz_cap=50_000)
+    x = rng.standard_normal(n_in - 1).astype(np.float32)
+    xh = np.concatenate([x, [1.0]]).astype(np.float32)
+    ref = _exact_sandwich(shape, w, b, stride, A, Ainv, xh)
+    got = np.asarray(op.apply(jnp.asarray(xh[None])))[0]
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_key_blocks_identical():
+    rng = np.random.default_rng(5)
+    A, _ = keys.keygen((4, 28, 28), local_geometric="givens_orthogonal", alpha=2,
+                       blocksize=14, local_photometric="uniform_random_affine",
+                       beta=1.0, gamma=1.0, seed=7)
+    assert _key_blocks_identical(A, 196 * 1)  # per-channel runs of blocknumel
+    # breaking one value in one block must fail the check
+    B = scipy.sparse.csr_matrix(A, copy=True).tolil()
+    B[5, 5] = B[5, 5] + 0.5
+    assert not _key_blocks_identical(B.tocsr(), 196)
+    # a per-row random global photometric is not block periodic
+    G, _ = keys.keygen((4, 28, 28), global_photometric="uniform_random_affine",
+                       beta=1.0, gamma=1.0, blocksize=14, seed=8)
+    assert not _key_blocks_identical(G, 196)
