@@ -23,6 +23,9 @@ GLOBAL = {
     # keep freed large buffers on the process heap instead of returning pages
     # to the OS (see tune_allocator below); disable with KEYNET_TPU_MALLOPT=0
     "MALLOPT": True,
+    # opt-in debug pass: assert A @ Ainv == I for every generated keypair
+    # (keys.keypair_selfcheck; reference analog test/test_sparse.py:29-33)
+    "SELFCHECK": False,
 }
 
 

@@ -332,7 +332,24 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
 
     A = _compose([Cinv, p, g, P, G, C])
     Ainv = _compose([Cinv, Ginv, Pinv, ginv, pinv, C])
+    from .globals import GLOBAL
+    if GLOBAL.get("SELFCHECK", False):
+        keypair_selfcheck(A, Ainv)
     return A, Ainv
+
+
+def keypair_selfcheck(A, Ainv, atol=1e-4):
+    """Opt-in debug pass (GLOBAL['SELFCHECK']): assert A·A⁻¹ ≈ I.
+
+    The reference's analog is the ad-hoc orthogonality assertion in its test
+    suite (reference test/test_sparse.py:29-33); here it is a library-level
+    invariant check that can be switched on for any keygen call.
+    """
+    R = (scipy.sparse.csr_matrix(A) @ scipy.sparse.csr_matrix(Ainv)
+         - identity_matrix(A.shape[0]))
+    err = 0.0 if R.nnz == 0 else float(np.abs(R.data).max())
+    assert err < atol, "key pair fails A @ Ainv == I (max err %g)" % err
+    return err
 
 
 def _photometric(N, family, rng, beta=None, gamma=None, blocksize=None,

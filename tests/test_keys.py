@@ -132,3 +132,25 @@ def test_keygen_seed_determinism():
     A3, _ = keygen((1, 8, 8), seed=8, **cfg)
     assert (A1 != A2).nnz == 0
     assert (A1 != A3).nnz > 0
+
+
+def test_keypair_selfcheck_flag():
+    """GLOBAL['SELFCHECK'] runs A·A⁻¹==I on every keygen (SURVEY §5.2 debug pass)."""
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.keys import keygen, keypair_selfcheck
+    import scipy.sparse
+    GLOBAL["SELFCHECK"] = True
+    try:
+        A, Ainv = keygen((3, 8, 8), local_geometric="givens_orthogonal", alpha=2,
+                         blocksize=4, local_photometric="uniform_random_affine",
+                         beta=1.0, gamma=1.0, seed=3)
+    finally:
+        GLOBAL["SELFCHECK"] = False
+    assert keypair_selfcheck(A, Ainv) < 1e-4
+    B = scipy.sparse.identity(A.shape[0], format="csr") * 2.0
+    try:
+        keypair_selfcheck(B, B)
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
