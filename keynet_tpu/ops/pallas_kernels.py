@@ -24,14 +24,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 8  # row-blocks per grid step
+NBUF = 8   # DMA pipeline depth: keep NBUF tile+x copies in flight so per-slot
+           # DMA latency overlaps across several slots, not just one.
+           # (NOTE: per-kernel wall time could not be isolated through the
+           # axon tunnel this round — its ~34 ms host roundtrip floor swamps
+           # the kernel; macro numbers: 8 TFLOP/s f32 at B=128 synthetic,
+           # 1.01 s warm full VGG-orth-224 forward at B=1.)
 
 
 def _kernel(tile_ids_ref, col_blk_ref,    # SMEM (GROUP, KB) for this group
             x_hbm, tiles_hbm,             # HBM operands
             out_ref,                      # VMEM output block (B, GROUP*TM)
             x_buf, t_buf, sems, precision):
-    """Double-buffered: slot s+1's x block and tile DMA in flight while slot s
-    multiplies on the MXU.  Flattened slot index s -> (row-block j, list pos k)."""
+    """NBUF-deep pipelined DMA: slots s..s+NBUF-1's x blocks and tiles are in
+    flight while slot s multiplies on the MXU.  Flattened slot index
+    s -> (row-block j, list pos k)."""
     KB = tile_ids_ref.shape[1]
     TN = x_buf.shape[2]
     TM = t_buf.shape[1]
@@ -47,16 +54,19 @@ def _kernel(tile_ids_ref, col_blk_ref,    # SMEM (GROUP, KB) for this group
                 pltpu.make_async_copy(tiles_hbm.at[tid], t_buf.at[buf],
                                       sems.at[1, buf]))
 
-    cx, ct = copies(0, 0)
-    cx.start()
-    ct.start()
+    for s0 in range(NBUF - 1):  # unrolled prologue (static trip count)
+        @pl.when(s0 < total)
+        def _(s0=s0):
+            cx, ct = copies(s0, s0 % NBUF)
+            cx.start()
+            ct.start()
 
     def body(s, _):
-        buf = s % 2
+        buf = s % NBUF
 
-        @pl.when(s + 1 < total)
+        @pl.when(s + NBUF - 1 < total)
         def _():
-            nx, nt = copies(s + 1, (s + 1) % 2)
+            nx, nt = copies(s + NBUF - 1, (s + NBUF - 1) % NBUF)
             nx.start()
             nt.start()
 
@@ -109,9 +119,9 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, B, TN), jnp.float32),   # double-buffered x blocks
-            pltpu.VMEM((2, TM, TN), jnp.float32),  # double-buffered tiles
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, B, TN), jnp.float32),   # pipelined x blocks
+            pltpu.VMEM((NBUF, TM, TN), jnp.float32),  # pipelined tiles
+            pltpu.SemaphoreType.DMA((2, NBUF)),
         ],
         interpret=interpret,
     )(tile_ids, col_blk, x_padded, tiles)

@@ -84,3 +84,30 @@ def test_ops_are_pytrees():
     x = np.ones((2, 48), dtype=np.float32)
     f = jax.jit(lambda o, v: o.apply(v))
     assert np.allclose(np.asarray(f(op, x)), x @ A.toarray().T, atol=1e-5)
+
+
+def test_block_ell_pallas_kernel_interpret():
+    """Pallas Block-ELL kernel vs numpy reference in interpret mode (the real
+    kernel runs TPU-only; this pins its semantics in the CPU suite)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import block_ell_matmul
+
+    rng = np.random.default_rng(2)
+    TM = TN = 128
+    n_rb, KB, n_uniq, B = 5, 3, 9, 4
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0  # tile 0 is the zero-padding tile
+    tile_ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    col_blk = rng.integers(0, n_rb, size=(n_rb, KB)).astype(np.int32)
+    x = rng.standard_normal((B, n_rb * TN)).astype(np.float32)
+
+    y = np.asarray(block_ell_matmul(jnp.asarray(x), jnp.asarray(tiles),
+                                    jnp.asarray(tile_ids), jnp.asarray(col_blk),
+                                    n_rb * TM, interpret=True))
+    ref = np.zeros((B, n_rb * TM), np.float32)
+    for r in range(n_rb):
+        for k in range(KB):
+            ref[:, r*TM:(r+1)*TM] += \
+                x[:, col_blk[r, k]*TN:(col_blk[r, k]+1)*TN] @ tiles[tile_ids[r, k]].T
+    assert np.abs(y[:, :n_rb*TM] - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
