@@ -74,6 +74,10 @@ def givens_orthogonal_matrix(n, k_iter, rng, withinverse=False, dtype=_DTYPE):
         if len(pool) <= 1:
             pool = list(rng.permutation(n)) + pool
         i, j = pool.pop(), pool.pop()
+        while j == i:  # refill leftover can collide with the new permutation's
+            if not pool:  # tail; an i==j "rotation" would break A^-1 = A^T
+                pool = list(rng.permutation(n))
+            j = pool.pop()
         theta = rng.random() * 2 * np.pi
         c, s = np.cos(theta), np.sin(theta)
         ri, rj = getrow(i), getrow(j)

@@ -6,7 +6,15 @@ the vectorized numpy fallbacks; when present, strip packing runs ~5-10x faster
 """
 
 try:
+    import numpy as _np
+
     from keynet_tpu import _native  # built in-place into the package dir
+
+    # stale-build probe: pack_strip must return (pairs, tiles, counts)
+    _z = _np.zeros(1, dtype=_np.int64)
+    if len(_native.pack_strip(_z, _z, _np.zeros(1, dtype=_np.float32), 8, 8, 1)) != 3:
+        raise ImportError("stale _native build: rebuild with "
+                          "`python setup.py build_ext --inplace`")
 
     def available():
         return True

@@ -190,7 +190,15 @@ class BlockSparseOp(LinearOp):
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        return (mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)
+        if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
+            return False
+        # VMEM budget: the kernel's scratch (NBUF x-blocks + NBUF tiles) and
+        # its output block (B, GROUP*TM) scale with batch; past ~16MB VMEM
+        # pallas_call fails to compile, so fall back to the einsum path.
+        from .pallas_kernels import GROUP, NBUF
+        Bp = B + ((-B) % 8)  # kernel pads batch to the f32 sublane
+        vmem = 4 * (NBUF * Bp * TN + NBUF * TM * TN + Bp * GROUP * TM)
+        return vmem <= 12 * (1 << 20)
 
     def nnz(self):
         return self._nnz
@@ -233,6 +241,9 @@ class StreamingBlockPacker:
         self._tiles = [np.zeros((self.TM, self.TN), dtype=np.float32)]
         self._uniq[self._key(self._tiles[0])] = 0
         self._rb_slots = [[] for _ in range(self.n_rb)]  # (col_blk, tile_id)
+        # stored COO entries per slot (parallel to _rb_slots): keeps nnz
+        # accounting exact and path-independent when strips are extrapolated
+        self._rb_slot_entries = [[] for _ in range(self.n_rb)]
         self.nnz = 0
 
     def _key(self, tile):
@@ -255,7 +266,7 @@ class StreamingBlockPacker:
         if self._native is not None:
             # single-pass C++ scatter + 64-bit content hash; hash hits are
             # verified by content compare (collision -> new unique tile)
-            placed_pairs, placed = self._native.pack_strip(
+            placed_pairs, placed, entry_counts = self._native.pack_strip(
                 rows, cols, vals, self.TM, self.TN, self.n_cb)
             hashes = self._native.tile_hashes(placed)
             for i, (p, h) in enumerate(zip(placed_pairs, hashes)):
@@ -267,9 +278,11 @@ class StreamingBlockPacker:
                     self._uniq[int(h)] = tid
                     self._tiles.append(placed[i].copy())
                 self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
+                self._rb_slot_entries[int(p // self.n_cb)].append(int(entry_counts[i]))
             return
         pair = (rows // self.TM) * self.n_cb + (cols // self.TN)
         placed_pairs, inv = np.unique(pair, return_inverse=True)
+        entry_counts = np.bincount(inv, minlength=len(placed_pairs))
         placed = np.zeros((len(placed_pairs), self.TM, self.TN), dtype=np.float32)
         # direct assignment: unique (row, col) precondition makes this a
         # duplicate-free scatter (~10x faster than np.add.at)
@@ -282,6 +295,7 @@ class StreamingBlockPacker:
                 self._uniq[key] = tid
                 self._tiles.append(placed[i].copy())
             self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
+            self._rb_slot_entries[int(p // self.n_cb)].append(int(entry_counts[i]))
 
     def finalize(self):
         KB = max(1, max((len(s) for s in self._rb_slots), default=1))

@@ -226,6 +226,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                 packer._rb_slots[rb0 + j] = [
                     (cb if cb == pinned_cb else cb + delta, tid)
                     for cb, tid in packer._rb_slots[src0 + j]]
+                packer._rb_slot_entries[rb0 + j] = \
+                    list(packer._rb_slot_entries[src0 + j])
             extrapolated.append((rb0, nrb))
             continue
 
@@ -251,6 +253,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
             saved = [sorted(packer._rb_slots[vrb0 + j]) for j in range(vn)]
             for j in range(vn):
                 packer._rb_slots[vrb0 + j] = []
+                packer._rb_slot_entries[vrb0 + j] = []
             compute_strip(vrb0, vn)
             ok = ok and all(sorted(packer._rb_slots[vrb0 + j]) == saved[j]
                             for j in range(vn))
@@ -262,6 +265,7 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                     continue
                 for j in range(ne):
                     packer._rb_slots[rb0e + j] = []
+                    packer._rb_slot_entries[rb0e + j] = []
                 compute_strip(rb0e, ne)
         packer.nnz = _total_nnz(packer)
 
@@ -339,7 +343,8 @@ def _pattern_shift(prev_pat, pat, pinned_cb):
 
 
 def _total_nnz(packer):
-    """Recompute stored-entry count from tile contents (extrapolated strips
-    bypass add_strip; explicit zeros inside tiles are not counted)."""
-    tile_nnz = np.array([int(np.count_nonzero(t)) for t in packer._tiles])
-    return int(sum(tile_nnz[tid] for slots in packer._rb_slots for _, tid in slots))
+    """Stored-entry count summed over per-slot counts recorded at add_strip
+    time (extrapolated strips copy their source strip's counts), so the
+    reported nnz is identical whether or not the fast path engaged and
+    explicit-zero stored entries are preserved in the accounting."""
+    return int(sum(sum(e) for e in packer._rb_slot_entries))

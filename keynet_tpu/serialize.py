@@ -73,6 +73,8 @@ def save_keynet(path, knet, sensor=None, include_keys=False):
     arrays, manifest = {}, {"layers": [], "outshape": list(knet._outshape),
                             "include_keys": bool(include_keys)}
     for name, l in knet.layers().items():
+        assert "__" not in name, \
+            "layer name %r: '__' is the array-key separator" % name
         if l == "relu":
             manifest["layers"].append({"name": name, "kind": "relu"})
             continue

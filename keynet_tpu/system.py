@@ -131,8 +131,9 @@ class KeyedModel:
                     vprint("[keynet_tpu.KeyedModel]:     %r" % keyed[k])
 
             elif (shapes[k]["nextlayer"] is not None
+                  and shapes[k]["nextlayer"] != "output"
                   and (shapes[k]["nextlayer"] == k + "_bn"
-                       or "relu" in shapes[k]["nextlayer"])):
+                       or isinstance(net.layer(shapes[k]["nextlayer"]), specs.ReLU))):
                 pass  # keyed later, merged with its bn/relu successor
 
             else:

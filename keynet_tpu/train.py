@@ -37,11 +37,16 @@ def _params_pytree(model):
             for k, d in model.params.items()}
 
 
-def make_optimizer(lr=0.003, momentum=0.9, weight_decay=0.0, milestones=None, gamma=0.1):
-    """SGD+momentum with optional weight decay and MultiStepLR schedule."""
+def make_optimizer(lr=0.003, momentum=0.9, weight_decay=0.0, milestones=None,
+                   gamma=0.1, steps_per_epoch=1):
+    """SGD+momentum with optional weight decay and MultiStepLR schedule.
+
+    `milestones` are EPOCH numbers (the reference's MultiStepLR semantics,
+    keynet/cifar10.py:118); optax schedules count optimizer STEPS, so they are
+    converted with `steps_per_epoch` (batches per epoch)."""
     if milestones:
         schedule = optax.piecewise_constant_schedule(
-            lr, {int(m): gamma for m in milestones})
+            lr, {int(m) * int(steps_per_epoch): gamma for m in milestones})
     else:
         schedule = lr
     tx = optax.sgd(schedule, momentum=momentum)
@@ -66,10 +71,16 @@ def make_train_step(model, tx, loss_fn=log_softmax_nll):
 
 
 def train(model, data_iter_fn, epochs=20, lr=0.003, momentum=0.9,
-          weight_decay=0.0, milestones=None, verbose=True):
+          weight_decay=0.0, milestones=None, steps_per_epoch=None, verbose=True):
     """Train a keynet_tpu Model; data_iter_fn(epoch) yields (images, labels)
-    numpy batches.  Updates model.params in place and returns the model."""
-    tx = make_optimizer(lr, momentum, weight_decay, milestones)
+    numpy batches.  Updates model.params in place and returns the model.
+    With epoch `milestones`, `steps_per_epoch` (batches per epoch) is required
+    so the LR decays at the reference's MultiStepLR epoch boundaries."""
+    if milestones and not steps_per_epoch:
+        raise ValueError("epoch milestones need steps_per_epoch to convert to "
+                         "optimizer steps (optax schedules count steps)")
+    tx = make_optimizer(lr, momentum, weight_decay, milestones,
+                        steps_per_epoch=steps_per_epoch or 1)
     params = _params_pytree(model)
     opt_state = tx.init(params)
     step = make_train_step(model, tx)

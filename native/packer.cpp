@@ -36,7 +36,8 @@ static inline uint64_t fnv1a(const uint8_t* data, size_t n) {
 template <typename I>
 static void pack_loop(const I* rows, const I* cols, const float* vals, int64_t n,
                       int64_t TM, int64_t TN, int64_t n_cb,
-                      std::vector<int64_t>& pairs, std::vector<float>& tiles) {
+                      std::vector<int64_t>& pairs, std::vector<float>& tiles,
+                      std::vector<int64_t>& counts) {
     const size_t tile_elems = (size_t)TM * (size_t)TN;
     std::vector<int64_t> scratch((size_t)n_cb, -1);  // col_blk -> tile idx (current rb)
     std::vector<int64_t> touched;
@@ -55,6 +56,7 @@ static void pack_loop(const I* rows, const I* cols, const float* vals, int64_t n
             scratch[(size_t)cb] = idx;
             touched.push_back(cb);
             pairs.push_back(rb * n_cb + cb);
+            counts.push_back(0);
             // geometric growth: plain resize() reallocates to exactly n and
             // copies everything each time -> O(P^2) bytes moved
             if (tiles.size() + tile_elems > tiles.capacity())
@@ -64,14 +66,17 @@ static void pack_loop(const I* rows, const I* cols, const float* vals, int64_t n
         }
         tiles[(size_t)idx * tile_elems + (size_t)(rows[e] % TM) * TN + (cols[e] % TN)]
             = vals[e];
+        counts[(size_t)idx] += 1;  // stored entries incl. explicit zeros
     }
 }
 
 // pack_strip(rows, cols, vals, TM, TN, n_cb) ->
-//   (placed_pairs int64[P], placed f32[P, TM, TN])
+//   (placed_pairs int64[P], placed f32[P, TM, TN], counts int64[P])
 // Scatters a row-sorted COO strip into dense tiles grouped by
-// (row_block * n_cb + col_block).  Equivalent to the numpy
-// unique+fancy-assignment in StreamingBlockPacker.add_strip, single pass.
+// (row_block * n_cb + col_block); counts = stored COO entries per placed tile
+// (incl. explicit zeros, for path-independent nnz accounting).  Equivalent to
+// the numpy unique+fancy-assignment in StreamingBlockPacker.add_strip,
+// single pass.
 PyObject* pack_strip(PyObject*, PyObject* args) {
     PyArrayObject *rows_o, *cols_o, *vals_o;
     long TM, TN, n_cb;
@@ -93,17 +98,18 @@ PyObject* pack_strip(PyObject*, PyObject* args) {
 
     std::vector<int64_t> pairs;
     std::vector<float> tiles;  // P * TM * TN
+    std::vector<int64_t> counts;
     const size_t tile_elems = (size_t)TM * (size_t)TN;
 
     Py_BEGIN_ALLOW_THREADS
     if (rt == NPY_INT64)
         pack_loop((const int64_t*)PyArray_DATA(rows_o),
                   (const int64_t*)PyArray_DATA(cols_o), vals, n, TM, TN, n_cb,
-                  pairs, tiles);
+                  pairs, tiles, counts);
     else
         pack_loop((const int32_t*)PyArray_DATA(rows_o),
                   (const int32_t*)PyArray_DATA(cols_o), vals, n, TM, TN, n_cb,
-                  pairs, tiles);
+                  pairs, tiles, counts);
     Py_END_ALLOW_THREADS
 
     const npy_intp P = (npy_intp)pairs.size();
@@ -111,12 +117,15 @@ PyObject* pack_strip(PyObject*, PyObject* args) {
     npy_intp td[3] = {P, (npy_intp)TM, (npy_intp)TN};
     PyObject* pairs_arr = PyArray_SimpleNew(1, pd, NPY_INT64);
     PyObject* tiles_arr = PyArray_SimpleNew(3, td, NPY_FLOAT32);
-    if (!pairs_arr || !tiles_arr) return nullptr;
+    PyObject* counts_arr = PyArray_SimpleNew(1, pd, NPY_INT64);
+    if (!pairs_arr || !tiles_arr || !counts_arr) return nullptr;
     std::memcpy(PyArray_DATA((PyArrayObject*)pairs_arr), pairs.data(),
                 sizeof(int64_t) * (size_t)P);
     std::memcpy(PyArray_DATA((PyArrayObject*)tiles_arr), tiles.data(),
                 sizeof(float) * (size_t)P * tile_elems);
-    return Py_BuildValue("(NN)", pairs_arr, tiles_arr);
+    std::memcpy(PyArray_DATA((PyArrayObject*)counts_arr), counts.data(),
+                sizeof(int64_t) * (size_t)P);
+    return Py_BuildValue("(NNN)", pairs_arr, tiles_arr, counts_arr);
 }
 
 // tile_hashes(tiles f32[P, TM, TN]) -> uint64[P] content hashes
@@ -276,7 +285,7 @@ PyObject* toeplitz_fill(PyObject*, PyObject* args) {
 
 PyMethodDef methods[] = {
     {"pack_strip", pack_strip, METH_VARARGS,
-     "scatter a row-sorted COO strip into (pairs, dense tiles)"},
+     "scatter a row-sorted COO strip into (pairs, dense tiles, entry counts)"},
     {"tile_hashes", tile_hashes, METH_VARARGS, "content hash per tile"},
     {"toeplitz_fill", toeplitz_fill, METH_VARARGS,
      "single-pass CSR emission of requested Toeplitz conv rows"},

@@ -154,3 +154,13 @@ def test_keypair_selfcheck_flag():
     except AssertionError:
         raised = True
     assert raised
+
+
+def test_givens_orthogonal_no_self_pair():
+    """Odd n with pool-exhausting k_iter: the refill leftover must never pair
+    with itself (an i==j 'rotation' scales a row and breaks A^-1 = A^T)."""
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        S, Sinv = keys.givens_orthogonal_matrix(5, 50, rng, withinverse=True)
+        assert _is_identity(S @ Sinv, atol=1e-9)
+        assert _is_identity(S @ S.T, atol=1e-9)

@@ -110,3 +110,23 @@ def test_key_blocks_identical():
     G, _ = keys.keygen((4, 28, 28), global_photometric="uniform_random_affine",
                        beta=1.0, gamma=1.0, blocksize=14, seed=8)
     assert not _key_blocks_identical(G, 196)
+
+
+def test_nnz_path_independent():
+    """The reported nnz must be identical whether or not the extrapolation
+    fast path engaged (stored entries, incl. explicit zeros, per slot)."""
+    cfg = dict(local_geometric="givens_orthogonal", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    rng = np.random.default_rng(0)
+    shape = (8, 56, 56)
+    w = (rng.standard_normal((8, 8, 3, 3)) * 0.1).astype(np.float32)
+    w[0, 0, 0, 0] = 0.0  # explicit zero tap: stored entries != count_nonzero
+    b = (rng.standard_normal(8) * 0.1).astype(np.float32)
+    A, Ainv = keys.keygen(shape, seed=1, **cfg)
+    fast = keyed_conv_streaming(shape, shape, w, b, 1, A, Ainv,
+                                strip_nnz_cap=100_000)
+    exact = keyed_conv_streaming(shape, shape, w, b, 1, A, Ainv,
+                                 strip_nnz_cap=100_000, periodic_fastpath=False)
+    assert fast.streaming_stats["extrapolated"] > 0
+    assert exact.streaming_stats["extrapolated"] == 0
+    assert fast.nnz() == exact.nnz()

@@ -100,3 +100,21 @@ def test_load_image_file(tmp_path):
     s2, _ = keynet.Keynet((1, 16, 16), None, seed=0)
     s2.load(p)  # grayscale conversion
     assert np.asarray(s2.tensor()).shape == (1, 1, 16, 16)
+
+
+def test_nonrelu_layer_named_like_relu_is_not_skipped():
+    """A non-ReLU layer whose NAME contains 'relu' must not cause its
+    predecessor to be silently dropped (the merge-skip test is isinstance-based,
+    not name-substring-based)."""
+    from keynet_tpu.models import specs
+    net = specs.Model([
+        specs.Conv2d("conv1", 1, 2, 3),
+        specs.Linear("relutail", 2 * 8 * 8, 4),  # adversarial name
+    ], inshape=(1, 8, 8), seed=0)
+    sensor, knet = keynet.IdentityKeynet((1, 8, 8), net)
+    assert set(knet.layers().keys()) == {"conv1", "relutail"}
+    x = np.random.default_rng(0).normal(size=(2, 1, 8, 8)).astype(np.float32)
+    xc = sensor.fromtensor(x).encrypt().tensor()
+    y = np.asarray(knet.forward(xc))
+    y_src = np.asarray(net.forward(x))
+    assert np.abs(y - y_src.reshape(y.shape)).max() < 1e-5

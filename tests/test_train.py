@@ -68,3 +68,24 @@ def test_dataset_loaders_shapes():
     assert x.shape == (64, 1, 28, 28) and y.shape == (64,)
     x, y = datasets.load_cifar10(root=None, synthetic_n=32)
     assert x.shape == (32, 3, 32, 32)
+
+
+def test_multistep_lr_decays_at_epoch_boundary():
+    """MultiStepLR milestones are EPOCHS (reference keynet/cifar10.py:118);
+    the optax schedule counts steps, so decay must land at
+    milestone*steps_per_epoch, not at step `milestone`."""
+    import optax
+    tx = ktrain.make_optimizer(lr=1.0, momentum=0.0, milestones=[2],
+                               gamma=0.1, steps_per_epoch=10)
+    params = {"w": jnp.zeros(())}
+    grads = {"w": jnp.ones(())}
+    state = tx.init(params)
+    lrs = []
+    for _ in range(25):
+        updates, state = tx.update(grads, state, params)
+        lrs.append(-float(updates["w"]))
+    assert lrs[5] == pytest.approx(1.0)     # epoch 0 (steps 0-9): base lr
+    assert lrs[19] == pytest.approx(1.0)    # epoch 1 end: still base lr
+    assert lrs[20] == pytest.approx(0.1)    # epoch 2 start: decayed
+    with pytest.raises(ValueError):
+        ktrain.train(None, None, milestones=[2])
