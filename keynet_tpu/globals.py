@@ -26,6 +26,12 @@ GLOBAL = {
     # opt-in debug pass: assert A @ Ainv == I for every generated keypair
     # (keys.keypair_selfcheck; reference analog test/test_sparse.py:29-33)
     "SELFCHECK": False,
+    # Block-ELL tile storage dtype: 'float32' (exact, atol 1e-5 contract) or
+    # 'bfloat16' (halves HBM + tile DMA; ~1e-3 relative — the reference's own
+    # VGG-depth tolerance tier, test_keynet.py:94).  f32 accumulation either way.
+    "TILE_DTYPE": "float32",
+    # periodic apply path: cap on the gathered x-blocks materialized per einsum
+    "PERIODIC_X_CHUNK_BYTES": 256 << 20,
 }
 
 

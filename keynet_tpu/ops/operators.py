@@ -103,15 +103,25 @@ class BlockSparseOp(LinearOp):
       y[:, r] = sum_k tiles[tile_ids[r,k]] @ x[:, col_blk[r,k]]
     expressed as one gather + one einsum so XLA lowers it to batched MXU
     matmuls.
+
+    ``period=(s, P, R)`` records row-block periodicity: tile_ids rows
+    s+rho+j*P are identical for all j in [0,R) (col_blk is unconstrained).
+    Keyed convs with block-periodic keys are periodic by construction (the
+    same structure the streaming extrapolation locks onto), and the periodic
+    apply path reads each repeated tile ONCE per forward instead of once per
+    slot — the slot-DMA kernel re-reads dedup'd tiles, so HBM traffic is
+    slots*tile_bytes (~8x the unique bytes on VGG conv1-4) without this.
     """
 
-    def __init__(self, tiles, tile_ids, col_blk, shape, tileshape, nnz):
+    def __init__(self, tiles, tile_ids, col_blk, shape, tileshape, nnz,
+                 period=None):
         self.tiles = tiles
         self.tile_ids = tile_ids
         self.col_blk = col_blk
         self.shape = tuple(shape)            # logical (n_out, n_in)
         self.tileshape = tuple(tileshape)
         self._nnz = int(nnz)
+        self.period = tuple(int(v) for v in period) if period else None
 
     @staticmethod
     def plan(A, tileshape=DEFAULT_TILE, chunk_entries=8_000_000):
@@ -145,7 +155,7 @@ class BlockSparseOp(LinearOp):
         op = packer.finalize()
         return dict(tiles=np.asarray(op.tiles), tile_ids=np.asarray(op.tile_ids),
                     col_blk=np.asarray(op.col_blk), shape=(n_out, n_in),
-                    tileshape=(TM, TN), nnz=A.nnz)
+                    tileshape=(TM, TN), nnz=A.nnz, period=op.period)
 
     @staticmethod
     def from_scipy(A, tileshape=DEFAULT_TILE):
@@ -153,7 +163,14 @@ class BlockSparseOp(LinearOp):
         return BlockSparseOp(jnp.asarray(plan["tiles"]),
                              jnp.asarray(plan["tile_ids"]),
                              jnp.asarray(plan["col_blk"]),
-                             plan["shape"], plan["tileshape"], plan["nnz"])
+                             plan["shape"], plan["tileshape"], plan["nnz"],
+                             period=plan.get("period"))
+
+    def _precision(self):
+        # bf16 tiles: inputs are already rounded; multi-pass f32 emulation
+        # (HIGHEST) would only burn MXU passes
+        return precision() if self.tiles.dtype == jnp.float32 \
+            else jax.lax.Precision.DEFAULT
 
     def apply(self, x):
         B = x.shape[0]
@@ -164,25 +181,69 @@ class BlockSparseOp(LinearOp):
         pad_in = n_cb * TN - n_in
         if pad_in:
             x = jnp.pad(x, ((0, 0), (0, pad_in)))
+        if self.tiles.dtype != jnp.float32:
+            x = x.astype(self.tiles.dtype)  # bf16 operands, f32 accumulation
 
+        # periodic path: wins while the per-slot x-block gather (B*TN bytes)
+        # costs less than the tile re-DMA it replaces ((1-1/R)*TM*TN)
+        if self.period is not None and B <= (self.period[2] - 1) * TM // self.period[2]:
+            xb = x.reshape(B, n_cb, TN)
+            s, P, R = self.period
+            parts = []
+            if s:
+                parts.append(self._apply_rows(x, xb, 0, s))
+            parts.append(self._apply_periodic_mid(xb))
+            if s + P * R < n_rb:
+                parts.append(self._apply_rows(x, xb, s + P * R, n_rb))
+            y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            return y[:, :n_out]
+
+        return self._apply_rows(x, x.reshape(B, n_cb, TN), 0, n_rb)[:, :n_out]
+
+    def _apply_rows(self, x, xb, a, b):
+        """Slot-walk apply for row-blocks [a, b): the Pallas DMA-pipelined
+        kernel on TPU, gather+einsum elsewhere.  Returns (B, (b-a)*TM) f32."""
+        B = xb.shape[0]
+        TM, TN = self.tileshape
         if self._pallas_ok(B, TM, TN):
             from .pallas_kernels import block_ell_matmul
-            pad_b = (-B) % 8  # f32 sublane alignment
+            sub = 8 if x.dtype == jnp.float32 else 16  # sublane alignment
+            pad_b = (-B) % sub
             xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-            y = block_ell_matmul(xp, self.tiles, self.tile_ids, self.col_blk,
-                                 n_rb * TM)
-            return y[:B, :n_out]
-
-        xb = x.reshape(B, n_cb, TN)
-        xg = xb[:, self.col_blk]                       # (B, n_rb, KB, TN)
-        Tg = self.tiles[self.tile_ids]                 # (n_rb, KB, TM, TN)
+            y = block_ell_matmul(xp, self.tiles, self.tile_ids[a:b],
+                                 self.col_blk[a:b], (b - a) * TM)
+            return y[:B]
+        xg = xb[:, self.col_blk[a:b]]                  # (B, b-a, KB, TN)
+        Tg = self.tiles[self.tile_ids[a:b]]            # (b-a, KB, TM, TN)
         y = jnp.einsum("brkn,rkmn->brm", xg, Tg,
-                       preferred_element_type=jnp.float32, precision=precision())
-        y = y.reshape(B, -1)
-        return y[:, :n_out]
+                       preferred_element_type=jnp.float32,
+                       precision=self._precision())
+        return y.reshape(B, -1)
 
-    @staticmethod
-    def _pallas_ok(B, TM, TN):
+    def _apply_periodic_mid(self, xb):
+        """Rows [s, s+P*R): one batched einsum per R-chunk; the repeated tiles
+        are gathered once (P*KB tiles), not once per slot."""
+        s, P, R = self.period
+        B = xb.shape[0]
+        TM, TN = self.tileshape
+        KB = self.tile_ids.shape[1]
+        T = self.tiles[self.tile_ids[s:s + P]]        # (P, KB, TM, TN)
+        cols = self.col_blk[s:s + P * R].reshape(R, P, KB)
+        # chunk over reps so the gathered x blocks stay bounded in HBM
+        budget = int(GLOBAL.get("PERIODIC_X_CHUNK_BYTES", 256 << 20))
+        itemsize = 2 if self.tiles.dtype != jnp.float32 else 4
+        rc = max(1, min(R, budget // max(1, B * P * KB * TN * itemsize)))
+        parts = []
+        for j0 in range(0, R, rc):
+            cj = cols[j0:j0 + rc]                      # (rj, P, KB)
+            Xt = xb[:, cj]                             # (B, rj, P, KB, TN)
+            y = jnp.einsum("brpkn,pkmn->brpm", Xt, T,
+                           preferred_element_type=jnp.float32,
+                           precision=self._precision())
+            parts.append(y.reshape(B, -1))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def _pallas_ok(self, B, TM, TN):
         mode = GLOBAL.get("USE_PALLAS", "auto")
         if mode == "never":
             return False
@@ -196,28 +257,30 @@ class BlockSparseOp(LinearOp):
         # its output block (B, GROUP*TM) scale with batch; past ~16MB VMEM
         # pallas_call fails to compile, so fall back to the einsum path.
         from .pallas_kernels import GROUP, NBUF
-        Bp = B + ((-B) % 8)  # kernel pads batch to the f32 sublane
-        vmem = 4 * (NBUF * Bp * TN + NBUF * TM * TN + Bp * GROUP * TM)
+        it = self.tiles.dtype.itemsize
+        Bp = B + ((-B) % (8 if it == 4 else 16))  # sublane-padded batch
+        vmem = it * (NBUF * Bp * TN + NBUF * TM * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
     def nnz(self):
         return self._nnz
 
     def device_bytes(self):
-        return int(self.tiles.size) * 4 + int(self.tile_ids.size) * 8
+        return int(self.tiles.size) * self.tiles.dtype.itemsize \
+            + int(self.tile_ids.size) * 8
 
     def arrays(self):
         return {"tiles": self.tiles, "tile_ids": self.tile_ids, "col_blk": self.col_blk}
 
     def tree_flatten(self):
         return (self.tiles, self.tile_ids, self.col_blk), \
-            (self.shape, self.tileshape, self._nnz)
+            (self.shape, self.tileshape, self._nnz, self.period)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
         op.tiles, op.tile_ids, op.col_blk = children
-        op.shape, op.tileshape, op._nnz = aux
+        op.shape, op.tileshape, op._nnz, op.period = aux
         return op
 
 
@@ -297,7 +360,7 @@ class StreamingBlockPacker:
             self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
             self._rb_slot_entries[int(p // self.n_cb)].append(int(entry_counts[i]))
 
-    def finalize(self):
+    def finalize(self, detect_period=True):
         KB = max(1, max((len(s) for s in self._rb_slots), default=1))
         tile_ids = np.zeros((self.n_rb, KB), dtype=np.int32)
         col_blk = np.zeros((self.n_rb, KB), dtype=np.int32)
@@ -305,9 +368,13 @@ class StreamingBlockPacker:
             for k, (cb, tid) in enumerate(slots):
                 tile_ids[r, k] = tid
                 col_blk[r, k] = cb
-        return BlockSparseOp(jnp.asarray(np.stack(self._tiles)),
+        period = find_row_period(tile_ids) if detect_period else None
+        dtype = jnp.bfloat16 if GLOBAL.get("TILE_DTYPE") == "bfloat16" \
+            else jnp.float32
+        return BlockSparseOp(jnp.asarray(np.stack(self._tiles), dtype=dtype),
                              jnp.asarray(tile_ids), jnp.asarray(col_blk),
-                             self.shape, (self.TM, self.TN), self.nnz)
+                             self.shape, (self.TM, self.TN), self.nnz,
+                             period=period)
 
     def n_unique(self):
         return len(self._tiles)
@@ -476,6 +543,47 @@ def run_layout_perm(shape_chw, p, homogeneous=True):
     if homogeneous:
         lay = np.concatenate([lay, [C * npix]])
     return lay
+
+
+def find_row_period(tile_ids, min_reps=2, min_cover=0.5, min_saved=8,
+                    max_period=None):
+    """Detect row-block periodicity in a Block-ELL tile_ids array: the
+    (s, P, R) with tile_ids[s+rho+j*P] == tile_ids[s+rho] for rho in [0,P),
+    j in [0,R) that maximizes the number of tile-reusing row-blocks.
+
+    Returns None unless R >= ``min_reps``, the window covers ``min_cover`` of
+    all row-blocks, and at least ``min_saved`` row-blocks reuse tiles — below
+    that the plan is not worth the bookkeeping.  Head/tail rows outside the
+    window keep the slot path, so a plan never makes them slower.  Host-side
+    numpy, O(n_rb^2/min_reps) integer compares (one-time, at pack)."""
+    tile_ids = np.asarray(tile_ids)
+    n_rb = len(tile_ids)
+    if n_rb < 2 * min_reps:
+        return None
+    # token per row-block: exact row equality via unique-inverse
+    _, tok = np.unique(tile_ids, axis=0, return_inverse=True)
+    tok = tok.astype(np.int64)
+    best = None  # (reused_rows, -P, s, P, R)
+    max_period = max_period or n_rb // min_reps
+    for P in range(1, max_period + 1):
+        m = tok[:-P] == tok[P:]
+        if not m.any():
+            continue
+        # longest run of consecutive matches
+        d = np.diff(np.concatenate(([0], m.astype(np.int8), [0])))
+        starts, ends = np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+        li = int(np.argmax(ends - starts))
+        run, s = int(ends[li] - starts[li]), int(starts[li])
+        R = run // P + 1
+        if R < min_reps or P * R < min_cover * n_rb or (R - 1) * P < min_saved:
+            continue
+        cand = ((R - 1) * P, -P, s, P, R)
+        if best is None or cand > best:
+            best = cand
+    if best is None:
+        return None
+    _, _, s, P, R = best
+    return (s, P, R)
 
 
 def block_diag_period(A, candidates):

@@ -105,7 +105,9 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
         tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, 0)))  # pad rows hit tile 0
         col_blk = jnp.pad(col_blk, ((0, pad_r), (0, 0)))
     from ..globals import precision as _prec
-    kernel = functools.partial(_kernel, precision=_prec())
+    dt = tiles.dtype  # f32 or bf16 (bf16 halves tile+x DMA; f32 accumulation)
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel, precision=prec)
     y = pl.pallas_call(
         kernel,
         grid=(n_grp,),
@@ -119,10 +121,10 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, B, TN), jnp.float32),   # pipelined x blocks
-            pltpu.VMEM((NBUF, TM, TN), jnp.float32),  # pipelined tiles
+            pltpu.VMEM((NBUF, B, TN), dt),   # pipelined x blocks
+            pltpu.VMEM((NBUF, TM, TN), dt),  # pipelined tiles
             pltpu.SemaphoreType.DMA((2, NBUF)),
         ],
         interpret=interpret,
-    )(tile_ids, col_blk, x_padded, tiles)
+    )(tile_ids, col_blk, x_padded.astype(dt), tiles)
     return y[:, :n_out_padded]

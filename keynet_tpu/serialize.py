@@ -23,8 +23,13 @@ def _op_state(op):
     if isinstance(op, DenseOp):
         return "dense", {"W": np.asarray(op.W)}, {"nnz": op.nnz()}
     if isinstance(op, BlockSparseOp):
-        return "block", {k: np.asarray(v) for k, v in op.arrays().items()}, \
-            {"shape": op.shape, "tileshape": op.tileshape, "nnz": op.nnz()}
+        arrs = {k: np.asarray(v) for k, v in op.arrays().items()}
+        tile_dtype = str(op.tiles.dtype)
+        if tile_dtype != "float32":  # npz has no bfloat16; store f32 (lossless)
+            arrs["tiles"] = np.asarray(op.tiles.astype(jnp.float32))
+        return "block", arrs, \
+            {"shape": op.shape, "tileshape": op.tileshape, "nnz": op.nnz(),
+             "period": op.period, "tile_dtype": tile_dtype}
     if isinstance(op, PermutedBlockSparseOp):
         kind, arrs, meta = _op_state(op.inner)
         arrs.update({"perm_in": np.asarray(op.perm_in),
@@ -41,9 +46,12 @@ def _op_restore(kind, arrs, meta):
     if kind == "dense":
         return DenseOp(jnp.asarray(arrs["W"]), nnz=meta["nnz"])
     if kind == "block":
-        return BlockSparseOp(jnp.asarray(arrs["tiles"]), jnp.asarray(arrs["tile_ids"]),
+        tdt = meta.get("tile_dtype", "float32")
+        return BlockSparseOp(jnp.asarray(arrs["tiles"], dtype=tdt),
+                             jnp.asarray(arrs["tile_ids"]),
                              jnp.asarray(arrs["col_blk"]), tuple(meta["shape"]),
-                             tuple(meta["tileshape"]), meta["nnz"])
+                             tuple(meta["tileshape"]), meta["nnz"],
+                             period=meta.get("period"))
     if kind == "permuted_block":
         inner = _op_restore("block", arrs, meta)
         return PermutedBlockSparseOp(inner, jnp.asarray(arrs["perm_in"]),

@@ -111,3 +111,174 @@ def test_block_ell_pallas_kernel_interpret():
             ref[:, r*TM:(r+1)*TM] += \
                 x[:, col_blk[r, k]*TN:(col_blk[r, k]+1)*TN] @ tiles[tile_ids[r, k]].T
     assert np.abs(y[:, :n_rb*TM] - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
+
+
+# ------------------------------------------------------- periodic apply path
+
+def _random_periodic_op(rng, s, P, R, tail, KB=3, TM=8, TN=8, n_cb=12, n_uniq=9):
+    """BlockSparseOp with constructed row-block periodicity in [s, s+P*R)."""
+    n_rb = s + P * R + tail
+    tile_ids = rng.integers(1, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    base = rng.integers(1, n_uniq, size=(P, KB)).astype(np.int32)
+    for j in range(R):
+        tile_ids[s + j * P: s + (j + 1) * P] = base
+    # head/tail rows must NOT accidentally extend the period
+    if s:
+        tile_ids[s - 1] = (base[-1] % (n_uniq - 1)) + 1
+    if tail:
+        tile_ids[s + P * R] = (base[0] % (n_uniq - 1)) + 1
+    col_blk = rng.integers(0, n_cb, size=(n_rb, KB)).astype(np.int32)
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    shape = (n_rb * TM - 3, n_cb * TN - 5)  # ragged edges
+    import jax.numpy as jnp
+    mk = lambda period: BlockSparseOp(jnp.asarray(tiles), jnp.asarray(tile_ids),
+                                      jnp.asarray(col_blk), shape, (TM, TN),
+                                      nnz=1, period=period)
+    return mk, tile_ids
+
+
+@pytest.mark.parametrize("s,P,R,tail", [(0, 2, 5, 0), (3, 2, 5, 2), (1, 3, 4, 0)])
+def test_periodic_apply_matches_slot_path(s, P, R, tail):
+    rng = np.random.default_rng(7)
+    mk, _ = _random_periodic_op(rng, s, P, R, tail)
+    plain, periodic = mk(None), mk((s, P, R))
+    x = rng.standard_normal((4, plain.shape[1])).astype(np.float32)
+    import jax.numpy as jnp
+    y0 = np.asarray(plain.apply(jnp.asarray(x)))
+    y1 = np.asarray(periodic.apply(jnp.asarray(x)))
+    assert y0.shape == y1.shape
+    assert np.abs(y0 - y1).max() < 1e-5
+
+
+def test_periodic_apply_chunked_matches():
+    from keynet_tpu.globals import GLOBAL
+    rng = np.random.default_rng(3)
+    mk, _ = _random_periodic_op(rng, 2, 3, 8, 1)
+    x = rng.standard_normal((2, mk(None).shape[1])).astype(np.float32)
+    import jax.numpy as jnp
+    y0 = np.asarray(mk(None).apply(jnp.asarray(x)))
+    old = GLOBAL.get("PERIODIC_X_CHUNK_BYTES")
+    GLOBAL["PERIODIC_X_CHUNK_BYTES"] = 1  # force 1-rep chunks
+    try:
+        y1 = np.asarray(mk((2, 3, 8)).apply(jnp.asarray(x)))
+    finally:
+        if old is None:
+            GLOBAL.pop("PERIODIC_X_CHUNK_BYTES", None)
+        else:
+            GLOBAL["PERIODIC_X_CHUNK_BYTES"] = old
+    assert np.abs(y0 - y1).max() < 1e-5
+
+
+def test_find_row_period():
+    from keynet_tpu.ops.operators import find_row_period
+    rng = np.random.default_rng(11)
+    mk, tile_ids = _random_periodic_op(rng, 3, 2, 10, 2)
+    got = find_row_period(tile_ids, min_reps=4, min_cover=0.5)
+    assert got is not None
+    s, P, R = got
+    # the detected window must be consistent and cover at least the built one
+    assert P * R >= 2 * 10
+    for j in range(R):
+        assert (tile_ids[s + j * P: s + (j + 1) * P] == tile_ids[s: s + P]).all()
+    # pure-random ids: no period
+    ids = rng.integers(1, 50, size=(64, 3)).astype(np.int32)
+    assert find_row_period(ids) is None
+    # constant rows: period 1 full cover
+    ids = np.full((40, 3), 5, dtype=np.int32)
+    s, P, R = find_row_period(ids)
+    assert P == 1 and R == 40 and s == 0
+
+
+def test_streaming_op_gets_periodic_plan():
+    """The streamed keyed conv for a block-periodic key must come out with a
+    periodic plan and stay exact (same values as the plain path)."""
+    import jax.numpy as jnp
+    from keynet_tpu import keys
+    from keynet_tpu.ops.streaming import keyed_conv_streaming
+    rng = np.random.default_rng(0)
+    shape = (8, 56, 56)
+    w = (rng.standard_normal((8, 8, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(8) * 0.1).astype(np.float32)
+    A, Ainv = keys.keygen(shape, seed=1, local_geometric="givens_orthogonal",
+                          alpha=2, blocksize=14)
+    op = keyed_conv_streaming(shape, shape, w, b, 1, A, Ainv, strip_nnz_cap=100_000)
+    assert op.inner.period is not None, "periodic keyed conv must detect a plan"
+    x = rng.standard_normal((2, int(np.prod(shape)) + 1)).astype(np.float32)
+    y_fast = np.asarray(op.apply(jnp.asarray(x)))
+    plain = BlockSparseOp(op.inner.tiles, op.inner.tile_ids, op.inner.col_blk,
+                          op.inner.shape, op.inner.tileshape, op.inner.nnz())
+    import jax
+    xp = jnp.take(jnp.asarray(x), op.perm_in, axis=1)
+    y_plain = jnp.take(plain.apply(xp), op.perm_out_pos, axis=1)
+    assert np.abs(y_fast - np.asarray(y_plain)).max() < 1e-5
+
+
+def test_bf16_tile_mode():
+    """GLOBAL['TILE_DTYPE']='bfloat16' halves tile storage and keeps results
+    within the reference's VGG-depth tolerance tier (~1e-3 relative,
+    test_keynet.py:94); f32 accumulation throughout."""
+    import jax.numpy as jnp
+    from keynet_tpu.globals import GLOBAL
+    rng = np.random.default_rng(0)
+    A = scipy.sparse.random(300, 260, density=0.1, random_state=1,
+                            data_rvs=lambda n: rng.standard_normal(n)).tocsr()
+    x = rng.standard_normal((4, 260)).astype(np.float32)
+    ref = x @ A.T.toarray()
+    op32 = BlockSparseOp.from_scipy(A, tileshape=(16, 16))
+    GLOBAL["TILE_DTYPE"] = "bfloat16"
+    try:
+        op16 = BlockSparseOp.from_scipy(A, tileshape=(16, 16))
+    finally:
+        GLOBAL["TILE_DTYPE"] = "float32"
+    assert op16.tiles.dtype == jnp.bfloat16
+    assert op16.device_bytes() < op32.device_bytes()
+    y = np.asarray(op16.apply(jnp.asarray(x)))
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(y - ref).max() / scale < 5e-3
+    # exact path unchanged
+    y32 = np.asarray(op32.apply(jnp.asarray(x)))
+    assert np.abs(y32 - ref).max() / scale < 1e-6
+
+
+def test_bf16_serialize_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import keynet_tpu as keynet
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu import serialize
+    from keynet_tpu.models import specs
+    net = specs.Model([specs.Conv2d("conv1", 1, 2, 3),
+                       specs.ReLU("relu1"),
+                       specs.Linear("fc", 2 * 8 * 8, 4)], inshape=(1, 8, 8), seed=0)
+    GLOBAL["TILE_DTYPE"] = "bfloat16"
+    try:
+        sensor, knet = keynet.PermutationKeynet((1, 8, 8), net, seed=3)
+        x = np.random.default_rng(0).normal(size=(2, 1, 8, 8)).astype(np.float32)
+        xc = sensor.fromtensor(x).encrypt().tensor()
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "k.npz")
+        serialize.save_keynet(p, knet, sensor=sensor, include_keys=True)
+        s2, k2 = serialize.load_keynet(p)
+        y1 = np.asarray(k2.forward(xc))
+    finally:
+        GLOBAL["TILE_DTYPE"] = "float32"
+    assert np.abs(y0 - y1).max() == 0.0
+
+
+def test_bf16_block_op_state_roundtrip():
+    import jax.numpy as jnp
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.serialize import _op_state, _op_restore
+    rng = np.random.default_rng(2)
+    A = scipy.sparse.random(100, 90, density=0.2, random_state=2).tocsr()
+    GLOBAL["TILE_DTYPE"] = "bfloat16"
+    try:
+        op = BlockSparseOp.from_scipy(A, tileshape=(16, 16))
+    finally:
+        GLOBAL["TILE_DTYPE"] = "float32"
+    kind, arrs, meta = _op_state(op)
+    assert arrs["tiles"].dtype == np.float32 and meta["tile_dtype"] == "bfloat16"
+    op2 = _op_restore(kind, arrs, meta)
+    assert op2.tiles.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.standard_normal((3, 90)).astype(np.float32))
+    assert np.abs(np.asarray(op.apply(x)) - np.asarray(op2.apply(x))).max() == 0.0
