@@ -25,8 +25,18 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "data")
 
 @pytest.fixture(scope="session")
 def lenet_oracle():
-    """Torch-oracle activations for the shipped MNIST checkpoints."""
-    return np.load(os.path.join(FIXTURES, "lenet_oracle.npz"))
+    """Torch-oracle activations for the shipped MNIST checkpoints.
+
+    The .npz fixtures are gitignored (binary); regenerate on demand in a
+    subprocess (torch + jax in one process can wedge, see CLAUDE.md)."""
+    path = os.path.join(FIXTURES, "lenet_oracle.npz")
+    if not os.path.exists(path):
+        import subprocess, sys
+        os.makedirs(FIXTURES, exist_ok=True)
+        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "make_test_fixtures.py")
+        subprocess.run([sys.executable, script], check=True, timeout=600)
+    return np.load(path)
 
 
 @pytest.fixture(scope="session")
