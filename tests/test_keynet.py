@@ -48,6 +48,20 @@ def test_permutation_keynet(lenet_trained):
     _check(lenet_trained, sensor, knet, atol=1e-5)
 
 
+def test_pool_layers_compact(lenet_trained):
+    """Keyed pools pack as ELL, not dense: device bytes stay within ~2x the
+    nnz payload (8 bytes/slot) instead of the 22 MB dense footprint
+    (round-1 STATUS item 5; reference stores scipy CSR, keynet/sparse.py:206)."""
+    from keynet_tpu.ops.operators import EllOp
+    sensor, knet = keynet.PermutationKeynet((1, 28, 28), lenet_trained, seed=0)
+    pools = [l for name, l in knet.layers().items() if "pool" in name]
+    assert len(pools) == 2
+    for l in pools:
+        assert isinstance(l.op(), EllOp), repr(l)
+        assert l.device_bytes() <= 3 * 8 * l.nnz(), \
+            "pool device bytes %d > 3x nnz payload %d" % (l.device_bytes(), 8 * l.nnz())
+
+
 def test_permutation_block_memoryorder(lenet_trained):
     sensor, knet = keynet.Keynet((1, 28, 28), lenet_trained,
                                  global_geometric="permutation",
