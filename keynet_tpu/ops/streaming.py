@@ -34,6 +34,61 @@ from .operators import (BlockSparseOp, PermutedBlockSparseOp, StreamingBlockPack
                         conv_layout_perm, conv_layout_blocks, _cdiv)
 
 
+def factor_right_perm(A, ps):
+    """Factor a homogeneous key matrix A = B·G with B block-diagonal
+    (p-sized core blocks) and G a permutation: returns (p, g, B) where
+    ``A[:, c] == B[:, g[c]]`` for core columns (g a permutation of [0, n)),
+    or None if no candidate p fits.
+
+    This is the structure keygen produces whenever a global geometric
+    permutation is composed inside local block keys (A = p·g·P·G,
+    keys.keygen composition; reference keynet/system.py:466-469): every
+    column of A is a column of the block-diagonal factor B, relocated by G.
+    Columns are grouped by the row-block they live in; within a block the
+    assignment is by column order (any bijection yields a block-diagonal B).
+    """
+    A = scipy.sparse.csc_matrix(A)
+    n = A.shape[0] - 1
+    if not A.has_sorted_indices:
+        A = A.copy()
+        A.sort_indices()
+    indptr, indices = A.indptr, A.indices
+    # row-n entries (the bias row when factoring a transposed inverse key)
+    # travel with their column; the block condition applies to rows < n only
+    end = indptr[1:n + 1] - (indices[indptr[1:n + 1] - 1] == n)
+    if (end <= indptr[:n]).any():
+        return None  # a core column with no sub-homogeneous support
+    minr = indices[indptr[:n]]
+    maxr = indices[end - 1]
+    span = int((maxr - minr).max(initial=0))
+    for p in sorted(ps):
+        if n % p or p <= span:
+            continue
+        b = minr // p
+        if not np.array_equal(maxr // p, b):
+            continue
+        cnt = np.bincount(b, minlength=n // p)
+        if not (cnt == p).all():
+            continue
+        order = np.argsort(b, kind="stable")       # columns grouped by block
+        g = np.empty(n, dtype=np.int64)
+        g[order] = np.arange(n)
+        B = A[:, np.concatenate([order, [n]])].tocsr()
+        return int(p), g, B
+    return None
+
+
+def factor_left_perm(M, ps):
+    """Factor M = P·B (P permutation, B block-diagonal): returns (p, g, B)
+    with ``M[r, :] == B[g[r], :]`` for core rows, or None.  This is the form
+    of an *inverse* key A⁻¹ = G⁻¹·B⁻¹ whose forward key was B'·G."""
+    f = factor_right_perm(scipy.sparse.csr_matrix(M).T, ps)
+    if f is None:
+        return None
+    p, g, Bt = f
+    return p, g, scipy.sparse.csr_matrix(Bt.T)
+
+
 def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                          tileshape=(128, 128), strip_rows_target=None,
                          periodic_fastpath=True, rng=None,
@@ -41,6 +96,16 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     """Build PermutedBlockSparseOp for Ŵ = A·toeplitz(weight,bias)·A⁻¹ without
     materializing Ŵ.  A, A⁻¹: homogeneous scipy CSR keys ((N_out+1)², (N_in+1)²).
     See the module docstring for the strip/periodicity scheme.
+
+    Keys with a *global permutation* factor (hierarchical or flat; e.g. the
+    reference's VGG-16 stochastic recipe, test/test_keynet.py:116-130) are not
+    block-diagonal, but factor exactly as A = B_out·G / A⁻¹ = G'⁻¹·B_in (see
+    factor_right_perm).  The permutations are then folded into the Toeplitz
+    emission itself — strip rows are *selected* at permuted positions and
+    emitted columns *relabeled* (index gathers, no spgemm) — so the strip
+    products only ever see the block-diagonal factors and stay local.  The
+    extrapolation fast path is disabled under folding (the permuted Toeplitz
+    is no longer translation-covariant), so every strip is computed exactly.
     """
     n_out = int(np.prod(outshape)) + 1
     n_in = int(np.prod(inshape)) + 1
@@ -61,6 +126,9 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     # the one that keeps tiles self-similar — detect the run period from the
     # key matrices themselves.
     run_p_out = run_p_in = None
+    fold_out_rows = None  # row map: row k of the streamed W'' = W row fold_out_rows[k]
+    fold_in_cols = None   # col map: W column c relabels to fold_in_cols[c]
+    folded = False
     if periodic_fastpath and stride == 1:
         def _divisors(npix):
             return [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
@@ -69,6 +137,35 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         npix_in = inshape[1] * inshape[2]
         p_out = None if _A_ident else block_diag_period(A, _divisors(npix_out))
         p_in = None if _Ainv_ident else block_diag_period(Ainv, _divisors(npix_in))
+        # permutation-factor fold: try divisors strictly below the plain
+        # block-diagonal period — a key that is merely block-diagonal at a
+        # coarse p (or not at all) because of a composed global permutation
+        # factors as B·G at the fine local blocksize, which both tightens
+        # strip locality and keeps tiles dense.  Purely block-diagonal keys
+        # fail every smaller divisor, so extrapolation is untouched for them.
+        if not _A_ident:
+            cands = [d for d in _divisors(npix_out) if p_out is None or d < p_out]
+            f = factor_right_perm(A, cands)
+            if f is not None and (f[1] != np.arange(n_out - 1)).any():
+                p_out, g_out, A = f          # A ← B_out; Ŵ = B_out·(G·W·…)·…
+                ginv = np.argsort(g_out)     # row k of G·W = W row ginv[k]
+                fold_out_rows = np.concatenate([ginv, [n_out - 1]])
+                folded = True
+            elif f is not None:
+                p_out = f[0]  # identity factor: just a finer block-diag period
+        if not _Ainv_ident:
+            cands = [d for d in _divisors(npix_in) if p_in is None or d < p_in]
+            f = factor_left_perm(Ainv, cands)
+            if f is not None and (f[1] != np.arange(n_in - 1)).any():
+                p_in, g_in, Ainv = f         # Ainv ← B_in; W·P' relabels col k → g_in[k]
+                fold_in_cols = np.concatenate([g_in, [n_in - 1]]).astype(np.int32)
+                folded = True
+            elif f is not None:
+                p_in = f[0]
+        if folded:
+            vprint("[keyed_conv_streaming]: permutation key factored out "
+                   "(p_out=%s p_in=%s); folding into Toeplitz emission"
+                   % (p_out, p_in))
         if (p_out or p_in) is not None:
             run_p_out = p_out or (p_in if npix_out % (p_in or 1) == 0 else None)
             run_p_in = p_in or (p_out if npix_in % (p_out or 1) == 0 else None)
@@ -131,7 +228,10 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         # key periods — otherwise intra-run pattern coincidences (sparse local
         # keys whose strips are mostly identity rows) could extrapolate wrongly
         # with only probabilistic sample-verification as the net.
-        keys_periodic = ((_A_ident or _key_blocks_identical(A, run_p_out))
+        # folding breaks Toeplitz translation-covariance (strip s and s+k are
+        # no longer shifted copies), so extrapolation is disabled outright
+        keys_periodic = (not folded
+                         and (_A_ident or _key_blocks_identical(A, run_p_out))
                          and (_Ainv_ident or _key_blocks_identical(Ainv, run_p_in)))
         if keys_periodic:
             k_cands = tuple(k for k in k_cands if (adv_pix * k) % run_p_out == 0)
@@ -176,16 +276,26 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     wcache = {}  # last W slice, keyed by the needed-row set: consecutive
     # strips inside one key block (e.g. whole-image blocknumel) share it
 
+    def _relabel(W):
+        """Apply the folded input permutation: W column k → fold_in_cols[k]."""
+        if fold_in_cols is None:
+            return W
+        W = scipy.sparse.csr_matrix((W.data, fold_in_cols[W.indices], W.indptr),
+                                    shape=W.shape)
+        W.sort_indices()
+        return W
+
     def _W_rows(needed):
+        rows = needed if fold_out_rows is None else fold_out_rows[needed]
         if use_pool:
-            return toeplitz_conv2d_rows(inshape, weight, bias, stride, needed,
-                                        pool=pool)
+            return _relabel(toeplitz_conv2d_rows(inshape, weight, bias, stride,
+                                                 rows, pool=pool))
         key = (needed[0], needed[-1], len(needed))
         hit = wcache.get(key)
         if hit is not None and np.array_equal(hit[0], needed):
             return hit[1]
-        W = toeplitz_conv2d_rows(inshape, weight, bias, stride, needed,
-                                 cache=emission_cache)
+        W = _relabel(toeplitz_conv2d_rows(inshape, weight, bias, stride, rows,
+                                          cache=emission_cache))
         wcache.clear()
         wcache[key] = (needed, W)
         return W
@@ -195,8 +305,9 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         r1 = min(n_out, (rb0 + nrb) * TM)
         strip_rows = perm_out[r0:r1]
         if A_ident:
-            S = toeplitz_conv2d_rows(inshape, weight, bias, stride, strip_rows,
-                                     cache=emission_cache, pool=pool)
+            S = _relabel(toeplitz_conv2d_rows(inshape, weight, bias, stride,
+                                              strip_rows, cache=emission_cache,
+                                              pool=pool))
         else:
             A_strip = A32[strip_rows]
             needed = np.unique(A_strip.indices)
@@ -277,7 +388,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     op = PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
                                jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in))
     op.streaming_stats = {"strips": n_strips, "extrapolated": len(extrapolated),
-                          "period": period, "unique_tiles": packer.n_unique()}
+                          "period": period, "unique_tiles": packer.n_unique(),
+                          "folded": folded, "run_layout": run_p_out is not None}
     return op
 
 

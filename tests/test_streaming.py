@@ -130,3 +130,69 @@ def test_nnz_path_independent():
     assert fast.streaming_stats["extrapolated"] > 0
     assert exact.streaming_stats["extrapolated"] == 0
     assert fast.nnz() == exact.nnz()
+
+
+def test_factor_right_perm_roundtrip():
+    """A = p·g·G (local keys x global hierarchical permutation) must factor as
+    B·G with B block-diagonal and A[:, c] == B[:, g[c]] exactly."""
+    from keynet_tpu.ops.streaming import factor_right_perm, factor_left_perm
+    cfg = dict(global_geometric="hierarchical_permutation",
+               hierarchical_blockshape=(2, 2), hierarchical_permute_at_level=(0, 1),
+               local_geometric="doubly_stochastic", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    A, Ainv = keys.keygen((4, 28, 28), seed=3, **cfg)
+    npix = 28 * 28
+    divs = [d for d in range(2, npix + 1) if npix % d == 0]
+    f = factor_right_perm(A, divs)
+    assert f is not None
+    p, g, B = f
+    n = A.shape[0] - 1
+    assert npix % p == 0
+    # identity: A[:, c] == B[:, g[c]] for core columns, bias column kept
+    Ac, Bc = A.tocsc(), B.tocsc()
+    perm = np.concatenate([g, [n]])
+    diff = (Bc[:, perm] - Ac)
+    assert diff.nnz == 0 or np.abs(diff.data).max() == 0.0
+    # B is block-diagonal on the core
+    Bcoo = B.tocoo()
+    core = (Bcoo.row < n) & (Bcoo.col < n)
+    assert np.array_equal(Bcoo.row[core] // p, Bcoo.col[core] // p)
+    # the inverse key factors on the left with a block-diagonal B too
+    fi = factor_left_perm(Ainv, divs)
+    assert fi is not None
+    pi, gi, Bi = fi
+    diff = Bi[np.concatenate([gi, [n]])] - scipy.sparse.csr_matrix(Ainv)
+    assert diff.nnz == 0 or np.abs(diff.data).max() == 0.0
+
+
+def test_stochastic_recipe_streaming_exact():
+    """The reference VGG-stochastic recipe structure (hierarchical global
+    permutation + doubly-stochastic local + local affine,
+    /root/reference/test/test_keynet.py:116-130) at reduced scale: the
+    permutation factor must fold into emission and the streamed op must
+    equal the dense key sandwich."""
+    cfg = dict(global_geometric="hierarchical_permutation",
+               hierarchical_blockshape=(2, 2), hierarchical_permute_at_level=(0, 1),
+               local_geometric="doubly_stochastic", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    op, got, ref = _case((4, 56, 56), cfg, cap=100_000)
+    assert op.streaming_stats["folded"] and op.streaming_stats["run_layout"]
+    assert op.streaming_stats["extrapolated"] == 0  # folding disables extrap
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_flat_global_permutation_streaming_exact():
+    """A flat (non-hierarchical) global permutation with local Givens keys:
+    also factors as B·G and streams exactly."""
+    cfg = dict(global_geometric="permutation",
+               local_geometric="givens_orthogonal", alpha=2, blocksize=14)
+    op, got, ref = _case((4, 28, 28), cfg, cap=60_000)
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_global_permutation_only_streaming_exact():
+    """Pure global permutation key (no local factor): B degenerates to a
+    within-block permutation; streaming must stay exact."""
+    cfg = dict(global_geometric="permutation")
+    op, got, ref = _case((8, 28, 28), cfg, cap=60_000)
+    assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
