@@ -58,6 +58,22 @@ class KeyedLayer:
         self._tileshape = tileshape
         self._relu = False
 
+        # Dense-blocks inverse input keys (doubly-stochastic locals) are split
+        # behind a secret sparse re-key R so the p²-per-row fill of W·A⁻¹
+        # never materializes: the layer becomes the chain (A·W·R)·(R⁻¹·A⁻¹)
+        # (see ops.streaming.split_dense_inverse; R is discarded here).
+        f2 = None
+        if Ainv is not None and W is None and inshape is not None \
+                and len(inshape) == 3 and inshape[1] * inshape[2] > 1 \
+                and not isinstance(module, specs.Linear):
+            from .ops.streaming import split_dense_inverse
+            npix = inshape[1] * inshape[2]
+            divs = [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
+            s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs)
+            if s is not None:
+                Ainv, f2 = s
+        self._pending_f2 = f2
+
         if W is not None:
             self._layertype = "matrix"
             self._repr = "Matrix: shape=%s" % (W.shape,)
@@ -72,14 +88,17 @@ class KeyedLayer:
                         * (inshape[1] // module.stride) * (inshape[2] // module.stride))
             if pred_nnz > GLOBAL.get("STREAM_NNZ", 30_000_000):
                 # VGG-224 scale: stream strips, never materialize Ŵ
-                from .ops.streaming import keyed_conv_streaming
+                from .ops.streaming import masked_keyed_conv_streaming
                 import scipy.sparse as _sp
                 n_out = int(np.prod(outshape)) + 1
                 n_in = int(np.prod(inshape)) + 1
                 A_ = A if A is not None else _sp.identity(n_out, format="csr")
                 Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in, format="csr")
-                self._op = keyed_conv_streaming(inshape, outshape, params["weight"],
-                                                params["bias"], module.stride, A_, Ainv_)
+                self._op = masked_keyed_conv_streaming(inshape, outshape,
+                                                       params["weight"],
+                                                       params["bias"],
+                                                       module.stride, A_, Ainv_)
+                self._chain_f2()
                 self.W = None
                 self.shape = self._op.shape
                 self._nnz = self._op.nnz()
@@ -133,9 +152,22 @@ class KeyedLayer:
         self.shape = W_hom.shape
         self._nnz = int(W_hom.nnz)
         self._op = self._materialize(W_hom, format)
+        if self._pending_f2 is not None:
+            self._chain_f2()
+            self._nnz = self._op.nnz()
+            self.shape = self._op.shape
+            self.W = None  # factored layer: no single host matrix
+            return
         # retain the host CSR only when small (spy/serialization/baselines);
         # big keyed matrices live on device only
         self.W = W_hom if self._nnz <= GLOBAL.get("KEEP_HOST_NNZ", 50_000_000) else None
+
+    def _chain_f2(self):
+        """Append the split-off compact inverse factor: op ← op ∘ F2."""
+        if self._pending_f2 is not None:
+            from .ops.operators import ChainedOp
+            self._op = ChainedOp([self._pending_f2, self._op])
+            self._pending_f2 = None
 
     def _materialize(self, W_hom, format):
         """Pick the device format.  Linear layers are dense by nature; spatial

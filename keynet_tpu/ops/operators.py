@@ -520,6 +520,102 @@ class PermutedBlockSparseOp(LinearOp):
         return op
 
 
+@jax.tree_util.register_pytree_node_class
+class RepeatedBlockDiagOp(LinearOp):
+    """Homogeneous operator (I ⊗ F) + bias column: one dense (p, p) block
+    repeated along the core diagonal.
+
+      y[:, :n] = blockwise( x[:, :n] · Fᵀ ) + x[:, n:] · bias
+      y[:, n]  = x[:, n]
+
+    This is the compact device form of a block-diagonal key whose diagonal
+    blocks are identical and dense — e.g. the inverse of a repeated
+    doubly-stochastic local key (reference keynet/sparse.py:345-356 computes
+    that inverse densely per block): p² floats + one bias vector instead of
+    n·p stored entries, applied as a single batched MXU matmul.
+    """
+
+    def __init__(self, F, bias, n, nnz=None):
+        self.F = F          # (p, p) jnp f32
+        self.bias = bias    # (n,) jnp f32
+        self.shape = (n + 1, n + 1)
+        self._nnz = int(nnz) if nnz is not None \
+            else int(np.count_nonzero(np.asarray(F))) + int(np.count_nonzero(np.asarray(bias)))
+
+    def apply(self, x):
+        n = self.shape[0] - 1
+        p = self.F.shape[0]
+        xc, xh = x[:, :n], x[:, n:]
+        y = jnp.einsum("bkp,qp->bkq", xc.reshape(x.shape[0], n // p, p), self.F,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = y.reshape(x.shape[0], n) + xh * self.bias[None, :]
+        return jnp.concatenate([y, xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.F.size + self.bias.size) * 4
+
+    def arrays(self):
+        return {"F": self.F, "bias": self.bias}
+
+    def tree_flatten(self):
+        return (self.F, self.bias), (self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.F, op.bias = children
+        op.shape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class ChainedOp(LinearOp):
+    """Composition operator: apply(x) = ops[-1](…ops[0](x)).
+
+    Used to publish a keyed layer as a factored chain
+    (A_out·W·R) ∘ (R⁻¹·A_in⁻¹) with a *secret* sparse re-keying matrix R that
+    is generated at conversion time and destroyed (see
+    streaming.split_dense_inverse).  The exposed factors form a standard
+    2-link keyed chain — neither reveals a layer key — while the dense fill
+    of W·A_in⁻¹ never materializes anywhere.
+    """
+
+    def __init__(self, ops):
+        flat = []
+        for op in ops:  # flatten nested chains
+            flat.extend(op.ops if isinstance(op, ChainedOp) else [op])
+        self.ops = tuple(flat)
+        self.shape = (self.ops[-1].shape[0], self.ops[0].shape[1])
+
+    def apply(self, x):
+        for op in self.ops:
+            x = op.apply(x)
+        return x
+
+    def nnz(self):
+        return int(sum(op.nnz() for op in self.ops))
+
+    def device_bytes(self):
+        return int(sum(op.device_bytes() for op in self.ops))
+
+    def arrays(self):
+        out = {}
+        for i, op in enumerate(self.ops):
+            for k, v in op.arrays().items():
+                out["c%d_%s" % (i, k)] = v
+        return out
+
+    def tree_flatten(self):
+        return tuple(self.ops), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
+
+
 def conv_layout_blocks(shape_chw, target_block_elems=256):
     """Pixel-block (bh, bw) used by conv_layout_perm for a (C,H,W) shape."""
     from ..util import find_closest_positive_divisor

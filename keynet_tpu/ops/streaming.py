@@ -78,6 +78,267 @@ def factor_right_perm(A, ps):
     return None
 
 
+def factor_left_identical(M, ps):
+    """Factor M = P'·(I ⊗ [D₀ | b₀]): a row-permuted block-diagonal matrix
+    whose diagonal blocks are IDENTICAL dense (p, p) blocks with a p-periodic
+    bias pattern.  Returns (p, g, D0, b0) with
+    ``M[r, :n] == (I⊗D0)[g[r], :]`` and ``M[r, n] == b0[g[r] % p]``, or None.
+
+    This is the exact structure keygen gives an inverse key built from
+    repeated local blocks (A⁻¹ = G⁻¹·g⁻¹·p⁻¹, keys.keygen): every row of M is
+    a copy of one of p distinct block-row patterns.  Rows are grouped by
+    column block, ranked inside each block by a content feature, and the
+    factorization is then VERIFIED exactly (entry-for-entry against block 0),
+    so feature collisions can only cause a miss, never a wrong factor."""
+    M = scipy.sparse.csr_matrix(M)
+    n = M.shape[0] - 1
+    if not M.has_sorted_indices:
+        M = M.copy()
+        M.sort_indices()
+    indptr, indices, data = M.indptr, M.indices, M.data
+    end = indptr[1:n + 1] - (indices[indptr[1:n + 1] - 1] == n)
+    if (end <= indptr[:n]).any():
+        return None
+    minc = indices[indptr[:n]]
+    maxc = indices[end - 1]
+    span = int((maxc - minc).max(initial=0))
+    # per-row content features (any collision is caught by verification)
+    k_r = end - indptr[:n]
+    bias = np.zeros(n, dtype=data.dtype)
+    has_bias = indices[indptr[1:n + 1] - 1] == n
+    bias[has_bias] = data[indptr[1:n + 1][has_bias] - 1]
+    core_mask = np.ones(len(data), dtype=bool)
+    core_mask[indptr[1:n + 1][has_bias] - 1] = False
+    core_mask[indptr[n]:] = False
+
+    for p in sorted(ps):
+        if n % p or p <= span:
+            continue
+        b = minc // p
+        if not np.array_equal(maxc // p, b):
+            continue
+        cnt = np.bincount(b, minlength=n // p)
+        if not (cnt == p).all():
+            continue
+        nblk = n // p
+        # feature rank inside each block
+        cw = (indices - (indices // p) * p).astype(np.float64)
+        s1 = np.add.reduceat(np.where(core_mask, data, 0.0), indptr[:n])
+        s2 = np.add.reduceat(np.where(core_mask, data * (cw + 1.0), 0.0), indptr[:n])
+        order = np.lexsort((bias, s2, s1, k_r, b))  # block-major, feature rank
+        # exact verification: every block's (lengths, cols%p, values, bias)
+        # in rank order must equal block 0's
+        ko = k_r[order]
+        if not np.array_equal(ko.reshape(nblk, p), np.tile(ko[:p], (nblk, 1))):
+            continue
+        # gather core entries of rows in sorted order
+        tot = int(ko.sum())
+        starts = indptr[:n][order]
+        cum0 = np.concatenate([[0], np.cumsum(ko)[:-1]])
+        ent_idx = np.repeat(starts - cum0, ko) + np.arange(tot)
+        cols_s = indices[ent_idx] - (indices[ent_idx] // p) * p
+        vals_s = data[ent_idx]
+        per_blk = tot // nblk
+        if not (np.array_equal(cols_s.reshape(nblk, per_blk),
+                               np.tile(cols_s[:per_blk], (nblk, 1)))
+                and np.array_equal(vals_s.reshape(nblk, per_blk),
+                                   np.tile(vals_s[:per_blk], (nblk, 1)))
+                and np.array_equal(bias[order].reshape(nblk, p),
+                                   np.tile(bias[order[:p]], (nblk, 1)))):
+            continue
+        g = np.empty(n, dtype=np.int64)
+        g[order] = np.arange(n)
+        D0 = np.zeros((p, p), dtype=np.float32)
+        b0 = np.asarray(bias[order[:p]], dtype=np.float32)
+        pos = 0
+        for i in range(p):
+            k = int(ko[i])
+            D0[i, cols_s[pos:pos + k]] = vals_s[pos:pos + k]
+            pos += k
+        return int(p), g, D0, b0
+    return None
+
+
+def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
+    """Split a dense-blocks inverse input key behind a secret sparse re-key.
+
+    A doubly-stochastic local key's inverse has DENSE p² blocks
+    (reference keynet/sparse.py:345-356), so Ŵ = A·W·A⁻¹ fills to ~p·taps
+    nonzeros per row — unmaterializable at VGG scale for the reference and
+    for any entry-storing format here.  Instead, draw a secret block-local
+    orthogonal key R = P'·(I⊗E) (E sparse Givens, E⁻¹ = Eᵀ exact) and publish
+    the layer as the chain
+
+        F1 = A·W·R   (thin: R only relabels/mixes within blocks)
+        F2 = R⁻¹·A⁻¹ = I⊗(Eᵀ·D₀) + bias   (ONE dense p² block, RepeatedBlockDiagOp)
+
+    F1·F2 == Ŵ exactly; R is returned for use as the conversion-time
+    right-key and must be DISCARDED after conversion.  Publishing (F1, F2) is
+    a standard 2-link keyed chain: recovering A⁻¹ from F2 requires R, and the
+    intermediate activation is keyed by the orthogonal R (the reference's own
+    keyed-interface construction, keynet/system.py:96-101).
+
+    Returns (R_csr, F2_op) or None when Ainv is thin (mean row fill below
+    ``min_density``) or lacks the identical-dense-block structure.
+    """
+    n = Ainv.shape[0] - 1
+    if n <= 0 or Ainv.nnz < min_density * n:
+        return None
+    f = factor_left_identical(Ainv, ps)
+    if f is None:
+        return None
+    p, g, D0, b0 = f
+    from ..keys import givens_orthogonal_matrix, repeat_block_diagonal
+    from ..homogeneous import sparse_affine_to_linear
+    rng = rng or np.random.default_rng()
+    E, Einv = givens_orthogonal_matrix(p, 2, rng, withinverse=True)
+    E = scipy.sparse.csr_matrix(E, dtype=np.float32)
+    IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)))
+    R = sparse_affine_to_linear(IE[g])          # P'·(I⊗E), homogeneous
+    F = np.asarray((scipy.sparse.csr_matrix(Einv, dtype=np.float32) @ D0),
+                   dtype=np.float32)            # Eᵀ·D₀ (exact inverse)
+    bias = np.tile(np.asarray(scipy.sparse.csr_matrix(Einv, dtype=np.float32)
+                              @ b0, dtype=np.float32), n // p)
+    import jax.numpy as _jnp
+    from .operators import RepeatedBlockDiagOp
+    f2 = RepeatedBlockDiagOp(_jnp.asarray(F), _jnp.asarray(bias), n,
+                             nnz=int(np.count_nonzero(F)) + int(np.count_nonzero(bias)))
+    return scipy.sparse.csr_matrix(R, dtype=np.float32), f2
+
+
+def _run_block_perm(N, p, C, rng, tile=128):
+    """Secret run-block permutation: a uniform permutation of *units* of
+    consecutive runs, applied identically in every channel.
+
+    A unit is the smallest group of runs whose layout-row count
+    (p·C per run) is a multiple of the Block-ELL tile edge — permuting
+    tile-ALIGNED units relocates whole tile rows/columns, so the packed
+    tile-content multiset is invariant (zero dedup cost); a misaligned
+    permutation would shift tile-window phases and fragment dedup.
+    Fewer than 2 units -> identity (the block-orthogonal mask E still hides
+    within-run structure).  Returns (P, Pinv) homogeneous CSR."""
+    from ..homogeneous import sparse_affine_to_linear
+    from ..blockpermute import permutation_vector_to_matrix
+    npix = N // C
+    nruns = npix // p
+    rows_per_run = p * C
+    unit = int(np.lcm(rows_per_run, tile)) // rows_per_run
+    units = nruns // unit
+    perm_units = np.arange(units)
+    if units >= 2:
+        perm_units = rng.permutation(units)
+    inv_units = np.empty(units, dtype=np.int64)
+    inv_units[perm_units] = np.arange(units)
+    run_src = np.arange(nruns)
+    head = (inv_units[:, None] * unit + np.arange(unit)[None, :]).reshape(-1)
+    run_src[:units * unit] = head        # trailing ragged runs stay in place
+    idx = np.arange(N).reshape(C, nruns, p)
+    v = idx[:, run_src, :].reshape(-1)   # (P @ x)[i] = x[v[i]]
+    P = permutation_vector_to_matrix(v).astype(np.float32).tocsr()
+    return (scipy.sparse.csr_matrix(sparse_affine_to_linear(P), dtype=np.float32),
+            scipy.sparse.csr_matrix(sparse_affine_to_linear(P.T), dtype=np.float32))
+
+
+def _block_orth_key(n, p, rng):
+    """Secret block-local orthogonal mix: one (perm·givens) block repeated on
+    the p-sized run grid; inverse = exact transpose.  Returns (K, Kinv)
+    homogeneous CSR."""
+    from ..keys import permutation_matrix, givens_orthogonal_matrix, repeat_block_diagonal
+    from ..homogeneous import sparse_affine_to_linear
+    Pm = permutation_matrix(p, rng)
+    S = givens_orthogonal_matrix(p, 2, rng)
+    E = scipy.sparse.csr_matrix(Pm @ S, dtype=np.float32)
+    IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)), dtype=np.float32)
+    return (scipy.sparse.csr_matrix(sparse_affine_to_linear(IE), dtype=np.float32),
+            scipy.sparse.csr_matrix(sparse_affine_to_linear(IE.T), dtype=np.float32))
+
+
+def masked_keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
+                                rng=None, **stream_kwargs):
+    """Streamed keyed conv with *masked re-keying* for keys whose global
+    permutation factor would fragment tile dedup (hierarchical/flat global
+    permutations: the reference's stochastic VGG recipe,
+    /root/reference/test/test_keynet.py:116-130).
+
+    Folding a pixel-level permutation G into the Toeplitz emission keeps
+    strips local but destroys tile self-similarity (every relocated run gets
+    a distinct composition pattern -> ~zero dedup, unmaterializable at 224).
+    Instead the layer is published as the chain
+
+        F1 = A·π_o·(I⊗E_o)                         thin ELL (fill ~ alpha²)
+        M  = (I⊗E_o⁻¹)·π_o⁻¹ · W · π_i·(I⊗E_i)     Block-ELL via streaming
+        F2 = (I⊗E_i⁻¹)·π_i⁻¹ · A⁻¹                 thin ELL
+
+    with secret, DISCARDED masks: π run-block permutations (whole p-sized
+    runs, channel-uniform) and E block-local orthogonal mixes.  π permutes
+    whole layout row/col blocks, so M's tile-content multiset equals that of
+    the permutation-free orthogonal-keyed conv — full dedup — while the
+    fragmenting G_out/P' live only inside the THIN factors F1/F2 where
+    storage is per-entry.  F1·M·F2 == A·W·A⁻¹ exactly.
+
+    Security: each published factor is the corresponding key factor masked by
+    the secret (π, E) pair — a standard keyed-interface interposition (the
+    chain is a 2-extra-link keynet); the intermediate activations are keyed
+    by the discarded orthogonal+permutation masks.
+
+    Returns a LinearOp (ChainedOp when masking engaged).  Give ``Ainv``
+    already split of a dense-blocks inverse (split_dense_inverse) when
+    applicable — this function masks whatever permutation factors remain.
+    """
+    from .operators import block_diag_period, materialize, ChainedOp
+    from ..layer import is_identity_key
+    rng = rng or np.random.default_rng()
+    n_out = int(np.prod(outshape)) + 1
+    n_in = int(np.prod(inshape)) + 1
+    npix_out = outshape[1] * outshape[2]
+    npix_in = inshape[1] * inshape[2]
+    A = scipy.sparse.csr_matrix(A, dtype=np.float32)
+    Ainv = scipy.sparse.csr_matrix(Ainv, dtype=np.float32)
+
+    def _divs(npix):
+        return [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
+
+    def _fragmenting_p(M, divs, side):
+        if stride != 1 or is_identity_key(M):
+            return None
+        p_bd = block_diag_period(M, divs)
+        cands = [d for d in divs if p_bd is None or d < p_bd]
+        f = (factor_right_perm if side == "right" else factor_left_perm)(M, cands)
+        if f is not None and (f[1] != np.arange(M.shape[0] - 1)).any():
+            return f[0]
+        return None
+
+    p_o = _fragmenting_p(A, _divs(npix_out), "right")
+    p_i = _fragmenting_p(Ainv, _divs(npix_in), "left")
+    if p_o is None and p_i is None:
+        return keyed_conv_streaming(inshape, outshape, weight, bias, stride,
+                                    A, Ainv, rng=rng, **stream_kwargs)
+
+    ops = []
+    A_M, Ainv_M = A, Ainv
+    F1 = F2 = None
+    if p_o is not None:
+        Po, Poinv = _run_block_perm(n_out - 1, p_o, outshape[0], rng)
+        Ko, Koinv = _block_orth_key(n_out - 1, p_o, rng)
+        F1 = (A @ Po) @ Ko                 # thin: A is sparse, Po perm, Ko block-sparse
+        A_M = Koinv @ Poinv                # (I⊗E_o⁻¹)·π_o⁻¹
+    if p_i is not None:
+        Pi, Piinv = _run_block_perm(n_in - 1, p_i, inshape[0], rng)
+        Ki, Kiinv = _block_orth_key(n_in - 1, p_i, rng)
+        F2 = (Kiinv @ Piinv) @ Ainv        # thin
+        Ainv_M = Pi @ Ki                   # π_i·(I⊗E_i)
+    M = keyed_conv_streaming(inshape, outshape, weight, bias, stride,
+                             A_M, Ainv_M, rng=rng, **stream_kwargs)
+    if F2 is not None:
+        ops.append(materialize(F2, format="ell"))
+    ops.append(M)
+    if F1 is not None:
+        ops.append(materialize(F1, format="ell"))
+    op = ChainedOp(ops)
+    op.streaming_stats = dict(M.streaming_stats, masked_out=p_o, masked_in=p_i)
+    return op
+
+
 def factor_left_perm(M, ps):
     """Factor M = P·B (P permutation, B block-diagonal): returns (p, g, B)
     with ``M[r, :] == B[g[r], :]`` for core rows, or None.  This is the form

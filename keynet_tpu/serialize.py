@@ -16,7 +16,8 @@ import scipy.sparse
 import jax.numpy as jnp
 
 from .layer import KeyedLayer
-from .ops.operators import DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp
+from .ops.operators import (DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp,
+                            ChainedOp, RepeatedBlockDiagOp)
 
 
 def _op_state(op):
@@ -39,6 +40,17 @@ def _op_state(op):
     if isinstance(op, EllOp):
         return "ell", {"cols": np.asarray(op.cols), "vals": np.asarray(op.vals)}, \
             {"shape": op.shape, "nnz": op.nnz()}
+    if isinstance(op, RepeatedBlockDiagOp):
+        return "repblockdiag", {"F": np.asarray(op.F), "bias": np.asarray(op.bias)}, \
+            {"shape": op.shape, "nnz": op.nnz()}
+    if isinstance(op, ChainedOp):
+        arrs, parts = {}, []
+        for i, sub in enumerate(op.ops):
+            k, a, m = _op_state(sub)
+            for kk, vv in a.items():
+                arrs["c%d_%s" % (i, kk)] = vv
+            parts.append({"kind": k, "meta": _jsonable(m)})
+        return "chain", arrs, {"parts": parts, "shape": op.shape}
     raise TypeError(type(op))
 
 
@@ -60,6 +72,16 @@ def _op_restore(kind, arrs, meta):
     if kind == "ell":
         return EllOp(jnp.asarray(arrs["cols"]), jnp.asarray(arrs["vals"]),
                      tuple(meta["shape"]), meta["nnz"])
+    if kind == "repblockdiag":
+        return RepeatedBlockDiagOp(jnp.asarray(arrs["F"]), jnp.asarray(arrs["bias"]),
+                                   int(meta["shape"][0]) - 1, nnz=meta["nnz"])
+    if kind == "chain":
+        ops = []
+        for i, part in enumerate(meta["parts"]):
+            pref = "c%d_" % i
+            sub = {k[len(pref):]: v for k, v in arrs.items() if k.startswith(pref)}
+            ops.append(_op_restore(part["kind"], sub, part["meta"]))
+        return ChainedOp(ops)
     raise ValueError(kind)
 
 

@@ -196,3 +196,71 @@ def test_global_permutation_only_streaming_exact():
     cfg = dict(global_geometric="permutation")
     op, got, ref = _case((8, 28, 28), cfg, cap=60_000)
     assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_masked_rekeying_chain_exact_and_dedups():
+    """Hierarchical+stochastic keys at VGG-recipe structure: the layer must be
+    published as a masked re-keyed chain (F3·F2·M·F1) whose tile dedup matches
+    an orthogonal-keyed conv (the naive permutation fold gets ~zero dedup),
+    and whose product equals the dense key sandwich exactly."""
+    from keynet_tpu.ops.streaming import (masked_keyed_conv_streaming,
+                                          split_dense_inverse, _block_orth_key,
+                                          keyed_conv_streaming)
+    from keynet_tpu.ops.operators import ChainedOp
+    cfg = dict(global_geometric="hierarchical_permutation",
+               hierarchical_blockshape=(2, 2), hierarchical_permute_at_level=(0, 1),
+               local_geometric="doubly_stochastic", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    rng = np.random.default_rng(0)
+    shape = (8, 56, 56)
+    n = int(np.prod(shape))
+    w = (rng.standard_normal((8, 8, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(8) * 0.1).astype(np.float32)
+    A, _ = keys.keygen(shape, seed=1, **cfg)
+    _, Ainv = keys.keygen(shape, seed=2, **cfg)
+    divs = [d for d in range(2, 3137) if (56 * 56) % d == 0]
+    R, f3 = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs)
+
+    op = masked_keyed_conv_streaming(shape, shape, w, b, 1, A, R,
+                                     rng=np.random.default_rng(7))
+    st = op.streaming_stats
+    assert st["masked_out"] and st["masked_in"]
+
+    # dedup parity with a permutation-free orthogonal-keyed conv
+    Ko, Koinv = _block_orth_key(n, 196, np.random.default_rng(3))
+    Ki, _ = _block_orth_key(n, 196, np.random.default_rng(4))
+    base = keyed_conv_streaming(shape, shape, w, b, 1, Koinv, Ki)
+    assert st["unique_tiles"] <= 2 * base.streaming_stats["unique_tiles"]
+
+    # exactness of the full published chain
+    import jax.numpy as jnp
+    W = toeplitz_conv2d(shape, w, bias=b, stride=1)
+    ref = (scipy.sparse.csr_matrix(A, dtype=np.float32) @ W
+           @ scipy.sparse.csr_matrix(Ainv, dtype=np.float32))
+    x = rng.standard_normal(n).astype(np.float32)
+    xh = np.concatenate([x, [1.0]]).astype(np.float32)
+    got = np.asarray(ChainedOp([f3, op]).apply(jnp.asarray(xh[None])))[0]
+    exp = ref @ xh
+    assert np.abs(got - exp).max() < 1e-4 * max(1.0, np.abs(exp).max())
+
+
+def test_split_dense_inverse_factors_exact():
+    """F2 = R⁻¹·A⁻¹ as RepeatedBlockDiagOp and R must reproduce A⁻¹ exactly:
+    R @ F2_dense == Ainv."""
+    from keynet_tpu.ops.streaming import split_dense_inverse
+    import jax.numpy as jnp
+    cfg = dict(local_geometric="doubly_stochastic", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    _, Ainv = keys.keygen((4, 28, 28), seed=5, **cfg)
+    n = Ainv.shape[0] - 1
+    divs = [d for d in range(2, 785) if 784 % d == 0]
+    s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs)
+    assert s is not None
+    R, f2 = s
+    # apply F2 then R to a batch of basis-ish vectors == apply Ainv
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((3, n + 1)).astype(np.float32)
+    y_f2 = np.asarray(f2.apply(jnp.asarray(X)))
+    y = (scipy.sparse.csr_matrix(R, dtype=np.float32) @ y_f2.T).T
+    exp = (scipy.sparse.csr_matrix(Ainv, dtype=np.float32) @ X.T).T
+    assert np.abs(y - exp).max() < 1e-4 * max(1.0, np.abs(exp).max())
