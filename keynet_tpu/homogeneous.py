@@ -71,6 +71,20 @@ def affine_to_linear_matrix(W: np.ndarray, bias=None) -> np.ndarray:
 
 def sparse_affine_to_linear(A, bias=None, dtype=np.float64):
     """scipy.sparse A (n_out x n_in), optional bias (n_out,) -> [A b; 0 1]."""
+    if bias is None and scipy.sparse.issparse(A):
+        # CSR fast path: append the homogeneous row without a COO sort
+        # (repeated dense-block inverses reach ~1e8 nnz at VGG scale)
+        A = scipy.sparse.csr_matrix(A)
+        n_out, n_in = A.shape
+        indptr = np.concatenate([A.indptr, [A.indptr[-1] + 1]])
+        idt = A.indices.dtype if n_in + 1 <= np.iinfo(A.indices.dtype).max \
+            else np.int64
+        indices = np.concatenate([A.indices.astype(idt, copy=False),
+                                  np.asarray([n_in], dtype=idt)])
+        data = np.concatenate([A.data.astype(dtype, copy=False),
+                               np.asarray([1.0], dtype=dtype)])
+        return scipy.sparse.csr_matrix((data, indices, indptr),
+                                       shape=(n_out + 1, n_in + 1))
     A = scipy.sparse.coo_matrix(A)
     n_out, n_in = A.shape
     if bias is not None:

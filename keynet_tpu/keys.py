@@ -187,9 +187,21 @@ def repeat_block_diagonal(B, shape, dtype=_DTYPE):
     full copies of B at stride blockshape; if the tail is ragged, an identity
     tile eye[0:r, 0:c] is placed there instead.
     """
-    B = scipy.sparse.coo_matrix(B)
     H, W = shape
     h, w = B.shape
+    if H % h == 0 and W % w == 0 and H // h == W // w:
+        # aligned fast path: emit CSR directly (no COO sort) — dense-block
+        # inverses at VGG scale reach ~1e8 nnz, where coo_tocsr dominates
+        B = scipy.sparse.csr_matrix(B)
+        n = H // h
+        counts = np.diff(B.indptr)
+        indptr = np.concatenate([[0], np.cumsum(np.tile(counts, n))])
+        indices = (B.indices[None, :].astype(np.int64)
+                   + (np.arange(n, dtype=np.int64)[:, None] * w)).reshape(-1)
+        return scipy.sparse.csr_matrix(
+            (np.tile(B.data.astype(dtype, copy=False), n), indices, indptr),
+            shape=(H, W))
+    B = scipy.sparse.coo_matrix(B)
     # Number of FULL tiles: positions i=k*h, j=k*w with i+h<H and j+w<W get B;
     # the final position gets B only if it fits exactly, else the identity tile.
     nfit = min(H // h, W // w)
@@ -324,13 +336,39 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
                            blocksize=blocksize, blocknumel=blocknumel, local=True)
 
     # --- compose (skipping identity factors: an all-identity key costs O(N),
-    # not five spgemms) --------------------------------------------------------
+    # not five spgemms; permutation factors apply as O(nnz) gathers — the
+    # dense-block inverse reaches ~1e8 nnz at VGG scale, where a generic
+    # spgemm against it costs ~15s/call) ----------------------------------
+    def _perm_vec(M):
+        """Row-permutation vector if M is a permutation matrix, else None."""
+        M = scipy.sparse.csr_matrix(M)
+        if M.nnz != M.shape[0] or M.shape[0] != M.shape[1] \
+                or not (M.data == 1.0).all() or (np.diff(M.indptr) != 1).any():
+            return None
+        v = M.indices.astype(np.int64)
+        if (np.bincount(v, minlength=M.shape[0]) != 1).any():
+            return None  # one-per-row but not a bijection
+        return v
+
+    def _mul(L, R):
+        pv = _perm_vec(L)
+        if pv is not None:                      # (P @ M)[i, :] = M[perm[i], :]
+            return scipy.sparse.csr_matrix(R)[pv]
+        pv = _perm_vec(R)
+        if pv is not None:                      # (M @ P): col k -> perm[k]
+            Lc = scipy.sparse.csr_matrix(L).copy()
+            Lc.indices = pv[Lc.indices].astype(Lc.indices.dtype)
+            Lc.has_sorted_indices = False
+            Lc.sort_indices()
+            return Lc
+        return L @ R
+
     def _compose(factors):
         out = None
         for M in factors:
             if M is None:   # identity factor, never materialized
                 continue
-            out = M if out is None else out @ M
+            out = M if out is None else _mul(out, M)
         return (out if out is not None
                 else sparse_affine_to_linear(identity_matrix(N))).tocsr()
 
