@@ -184,7 +184,7 @@ class KeyedLayer:
         # (reference stores these as scipy CSR, keynet/sparse.py:206-212)
         if self._layertype in ("avgpool2d", "relu"):
             K = int(np.diff(W_hom.indptr).max()) if W_hom.nnz else 1
-            if K <= GLOBAL.get("ELL_MAX_K", 32) \
+            if K <= GLOBAL.get("ELL_MAX_K", 128) \
                     and 8 * 8 * n_out * K <= n_out * n_in * 4:
                 return EllOp.from_scipy(W_hom)
         if self._layertype == "linear" or n_out * n_in * 4 <= GLOBAL["DENSE_MAX_BYTES"]:

@@ -24,6 +24,29 @@ def test_vgg16_identity():
 
 @pytest.mark.vgg
 @pytest.mark.slow
+def test_vgg16_stochastic():
+    """The reference stochastic recipe at 224 (test/test_keynet.py:116-130):
+    hierarchical global permutation + doubly-stochastic local + local affine.
+    Runs via masked re-keying chains + dense-inverse splits (streaming.py);
+    the reference needs 48 host processes for this configuration."""
+    net = keynet.models.VGG16(seed=5)
+    sensor, knet = keynet.Keynet((3, 224, 224), net,
+                                 global_geometric="hierarchical_permutation",
+                                 hierarchical_blockshape=(2, 2),
+                                 hierarchical_permute_at_level=(0, 1, 2),
+                                 local_geometric="doubly_stochastic", alpha=2.0,
+                                 blocksize=14,
+                                 local_photometric="uniform_random_affine",
+                                 beta=1.0, gamma=1.0, memoryorder="channel", seed=0)
+    x = np.random.default_rng(0).normal(size=(1, 3, 224, 224)).astype(np.float32)
+    y = np.asarray(net.forward(x)).flatten()
+    xc = sensor.fromtensor(x).encrypt().tensor()
+    yk = np.asarray(knet.forward(xc)).flatten()
+    assert np.abs(y - yk).max() < 1e-3
+
+
+@pytest.mark.vgg
+@pytest.mark.slow
 def test_vgg16_orthogonal_tiled():
     """Block-local givens keys at 224 (reference test_vgg16_orthogonal recipe)."""
     net = keynet.models.VGG16(seed=5)
