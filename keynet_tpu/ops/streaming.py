@@ -302,6 +302,12 @@ def masked_keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv
         if stride != 1 or is_identity_key(M):
             return None
         p_bd = block_diag_period(M, divs)
+        if p_bd is not None and _key_blocks_identical(M, p_bd):
+            # exactly block-periodic at p_bd: the plain run layout
+            # extrapolates this key — masking would only lose that.
+            # (Catches e.g. relu-restricted local-permutation keys, whose
+            # permutation also factors at a finer p with non-identity g.)
+            return None
         cands = [d for d in divs if p_bd is None or d < p_bd]
         f = (factor_right_perm if side == "right" else factor_left_perm)(M, cands)
         if f is not None and (f[1] != np.arange(M.shape[0] - 1)).any():
@@ -404,7 +410,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         # factors as B·G at the fine local blocksize, which both tightens
         # strip locality and keeps tiles dense.  Purely block-diagonal keys
         # fail every smaller divisor, so extrapolation is untouched for them.
-        if not _A_ident:
+        if not _A_ident and not (p_out is not None
+                                 and _key_blocks_identical(A, p_out)):
             cands = [d for d in _divisors(npix_out) if p_out is None or d < p_out]
             f = factor_right_perm(A, cands)
             if f is not None and (f[1] != np.arange(n_out - 1)).any():
@@ -414,7 +421,8 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                 folded = True
             elif f is not None:
                 p_out = f[0]  # identity factor: just a finer block-diag period
-        if not _Ainv_ident:
+        if not _Ainv_ident and not (p_in is not None
+                                    and _key_blocks_identical(Ainv, p_in)):
             cands = [d for d in _divisors(npix_in) if p_in is None or d < p_in]
             f = factor_left_perm(Ainv, cands)
             if f is not None and (f[1] != np.arange(n_in - 1)).any():
