@@ -2,14 +2,30 @@
 proof): block-local Givens orthogonal keys (the gated
 tests/test_vgg_slow.py::test_vgg16_orthogonal_tiled recipe), per-layer timing.
 
-Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/run_vgg_orth_224.py
+Round-2 additions: bf16 tile storage mode (--tile-dtype bfloat16, VERDICT #3),
+multi-batch serving throughput (--batches 1,8,32, VERDICT #2), and an on-chip
+jax.profiler trace (--profile DIR).
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/run_vgg_orth_224.py \
+          [--tile-dtype bfloat16] [--batches 1,8,32] [--profile /tmp/vggtrace]
 """
+import argparse
 import time
 import numpy as np
 import keynet_tpu as keynet
 from keynet_tpu.globals import GLOBAL
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--tile-dtype", default="float32", choices=["float32", "bfloat16"])
+ap.add_argument("--batches", default="1")
+ap.add_argument("--profile", default=None)
+ap.add_argument("--reps", type=int, default=5)
+args = ap.parse_args()
+
 GLOBAL["VERBOSE"] = True
+if args.tile_dtype != "float32":
+    GLOBAL["TILE_DTYPE"] = args.tile_dtype
+
 t0 = time.time()
 net = keynet.models.VGG16(seed=5)
 print("[vgg224-orth] model built %.1fs" % (time.time() - t0), flush=True)
@@ -22,8 +38,8 @@ sensor, knet = keynet.Keynet((3, 224, 224), net,
                              local_photometric="uniform_random_affine",
                              beta=1.0, gamma=1.0, memoryorder="channel", seed=0)
 t_conv = time.time() - t0
-print("[vgg224-orth] CONVERTED in %.1fs  nnz=%d  device_bytes=%d" % (
-    t_conv, knet.num_parameters(), knet.device_bytes()), flush=True)
+print("[vgg224-orth] CONVERTED in %.1fs  nnz=%d  device_bytes=%d  tile_dtype=%s" % (
+    t_conv, knet.num_parameters(), knet.device_bytes(), args.tile_dtype), flush=True)
 
 x = np.random.default_rng(0).normal(size=(1, 3, 224, 224)).astype(np.float32)
 y = np.asarray(net.forward(x)).flatten()
@@ -35,8 +51,34 @@ t0 = time.time()
 yk = np.asarray(knet.forward(xc)).flatten()
 t_fwd = time.time() - t0
 err = float(np.abs(y - yk).max())
+tol = 1e-3 if args.tile_dtype == "float32" else 3e-2  # bf16 tiles: ~2.5e-3 rel
 print("[vgg224-orth] keyed==source max err = %.3g (scale %.3g)  forward cold %.2fs warm %.2fs"
       % (err, float(np.abs(y).max()), t_fwd_cold, t_fwd), flush=True)
+
+# --- serving throughput at batch (VERDICT #2) --------------------------------
+import jax
+import jax.numpy as jnp
+for B in [int(b) for b in args.batches.split(",")]:
+    xb = np.random.default_rng(1).normal(size=(B, 3, 224, 224)).astype(np.float32)
+    xcb = sensor.fromtensor(xb).encrypt().tensor()
+    t0 = time.time()
+    yb = knet.forward(xcb)
+    yb.block_until_ready()
+    cold = time.time() - t0
+    t0 = time.time()
+    for _ in range(args.reps):
+        yb = knet.forward(xcb)
+    yb.block_until_ready()
+    dt = (time.time() - t0) / args.reps
+    print("[vgg224-orth] B=%d  warm %.3fs  %.1f imgs/sec  (cold %.1fs)"
+          % (B, dt, B / dt, cold), flush=True)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(3):
+                yb = knet.forward(xcb)
+            yb.block_until_ready()
+        print("[vgg224-orth] trace for B=%d -> %s" % (B, args.profile), flush=True)
+
 print("[vgg224-orth] RESULT %s  convert_s=%.1f nnz=%d bytes=%d err=%.3g"
-      % ("PASS" if err < 1e-3 else "FAIL", t_conv, knet.num_parameters(),
+      % ("PASS" if err < tol else "FAIL", t_conv, knet.num_parameters(),
          knet.device_bytes(), err), flush=True)
