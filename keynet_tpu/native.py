@@ -5,10 +5,34 @@ the vectorized numpy fallbacks; when present, strip packing runs ~5-10x faster
 (single-pass scatter + dedup hash instead of sort-based numpy unique).
 """
 
+def _autobuild():
+    """Build the extension in place on first import when the source tree is
+    present but the .so is not (fresh checkouts: *.so is gitignored).  The
+    numpy fallback costs ~10-60x on VGG-scale conversions, so a silent
+    fallback is a performance landmine; failures fall through silently to
+    the numpy path."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(root, "setup.py")) \
+            or not os.path.exists(os.path.join(root, "native", "packer.cpp")):
+        return
+    try:
+        subprocess.run([sys.executable, "setup.py", "build_ext", "--inplace"],
+                       cwd=root, capture_output=True, timeout=300, check=True)
+    except Exception:
+        pass
+
+
 try:
     import numpy as _np
 
-    from keynet_tpu import _native  # built in-place into the package dir
+    try:
+        from keynet_tpu import _native  # built in-place into the package dir
+    except ImportError:
+        _autobuild()
+        from keynet_tpu import _native
 
     # stale-build probe: pack_strip must return (pairs, tiles, counts)
     _z = _np.zeros(1, dtype=_np.int64)
