@@ -194,13 +194,18 @@ class KeyedLayer:
                    and self._inshape[1] * self._inshape[2] > 1)
         ell_bytes = 8 * n_out * max(1, int(np.diff(W_hom.indptr).max()))
         if spatial:
-            perm_in = conv_layout_perm(self._inshape, homogeneous=(n_in == int(
-                np.prod(self._inshape)) + 1))
-            perm_out = conv_layout_perm(self._outshape, homogeneous=(n_out == int(
-                np.prod(self._outshape)) + 1))
+            from .ops.operators import conv_layout_blocks
+            hom_in = n_in == int(np.prod(self._inshape)) + 1
+            hom_out = n_out == int(np.prod(self._outshape)) + 1
+            bi = conv_layout_blocks(self._inshape)
+            bo = conv_layout_blocks(self._outshape)
+            perm_in = conv_layout_perm(self._inshape, homogeneous=hom_in, blocks=bi)
+            perm_out = conv_layout_perm(self._outshape, homogeneous=hom_out, blocks=bo)
             op = PermutedBlockSparseOp.from_scipy(
                 W_hom, perm_out, perm_in, tileshape=DEFAULT_TILE,
-                max_pack_bytes=max(8 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]))
+                max_pack_bytes=max(8 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]),
+                layout_in=("blk", *self._inshape, *bi) if hom_in else None,
+                layout_out=("blk", *self._outshape, *bo) if hom_out else None)
             if op is not None and op.device_bytes() <= max(4 * ell_bytes,
                                                            GLOBAL["DENSE_MAX_BYTES"]):
                 return op

@@ -472,15 +472,49 @@ class PermutedBlockSparseOp(LinearOp):
     The permutations are device gathers, O(N·B) next to the O(N·B·k) matmul.
     """
 
-    def __init__(self, inner, perm_in, perm_out_pos, shape):
+    def __init__(self, inner, perm_in, perm_out_pos, shape,
+                 layout_in=None, layout_out=None):
         self.inner = inner
         self.perm_in = perm_in            # int32 (n_in,): x_new[j] = x[perm_in[j]]
         self.perm_out_pos = perm_out_pos  # int32 (n_out,): y[k] = y_new[perm_out_pos[k]]
         self.shape = tuple(shape)
+        # Structured layout descriptors: the run/pixel-block layouts are pure
+        # reshape+transpose compositions, which XLA executes at HBM bandwidth;
+        # a generic 1-D gather of the same permutation measured ~0.27 GB/s on
+        # v5e (24 ms for a 3.2M-element operand).  None -> gather fallback.
+        #   ('run', C, npix, p)            run_layout_perm order (run, pos, ch)
+        #   ('blk', C, H, W, bh, bw)       conv_layout_perm pixel-block order
+        self.layout_in = tuple(layout_in) if layout_in else None
+        self.layout_out = tuple(layout_out) if layout_out else None
 
     @staticmethod
-    def from_scipy(A, perm_out, perm_in, tileshape=DEFAULT_TILE, max_pack_bytes=None):
-        """perm_out/perm_in: layout vectors (new position -> old index).
+    def _to_layout(x, meta):
+        """(B, n_core) channel-major -> layout order, via reshape/transpose."""
+        B = x.shape[0]
+        if meta[0] == "run":
+            _, C, npix, p = meta
+            return x.reshape(B, C, npix // p, p).transpose(0, 2, 3, 1).reshape(B, -1)
+        _, C, H, W, bh, bw = meta
+        return x.reshape(B, C, H // bh, bh, W // bw, bw) \
+            .transpose(0, 2, 4, 3, 5, 1).reshape(B, -1)
+
+    @staticmethod
+    def _from_layout(y, meta):
+        """(B, n_core) layout order -> channel-major (inverse of _to_layout)."""
+        B = y.shape[0]
+        if meta[0] == "run":
+            _, C, npix, p = meta
+            return y.reshape(B, npix // p, p, C).transpose(0, 3, 1, 2).reshape(B, -1)
+        _, C, H, W, bh, bw = meta
+        return y.reshape(B, H // bh, W // bw, bh, bw, C) \
+            .transpose(0, 5, 1, 3, 2, 4).reshape(B, -1)
+
+    @staticmethod
+    def from_scipy(A, perm_out, perm_in, tileshape=DEFAULT_TILE, max_pack_bytes=None,
+                   layout_in=None, layout_out=None):
+        """perm_out/perm_in: layout vectors (new position -> old index);
+        layout_in/layout_out: optional structured descriptors of the same
+        permutations (see __init__) for the reshape/transpose apply path.
 
         ``max_pack_bytes`` guards against matrices whose layout tiles stay
         sparse (e.g. channel-diagonal pooling): if the pre-dedup placed-tile
@@ -503,11 +537,19 @@ class PermutedBlockSparseOp(LinearOp):
         B = scipy.sparse.coo_matrix((A.data, (rows, cols)), shape=A.shape)
         inner = BlockSparseOp.from_scipy(B, tileshape=tileshape)
         return PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
-                                     jnp.asarray(rpos, dtype=jnp.int32), A.shape)
+                                     jnp.asarray(rpos, dtype=jnp.int32), A.shape,
+                                     layout_in=layout_in, layout_out=layout_out)
 
     def apply(self, x):
-        xp = jnp.take(x, self.perm_in, axis=1)
+        if self.layout_in is not None:
+            xp = jnp.concatenate(
+                [self._to_layout(x[:, :-1], self.layout_in), x[:, -1:]], axis=1)
+        else:
+            xp = jnp.take(x, self.perm_in, axis=1)
         y = self.inner.apply(xp)
+        if self.layout_out is not None:
+            return jnp.concatenate(
+                [self._from_layout(y[:, :-1], self.layout_out), y[:, -1:]], axis=1)
         return jnp.take(y, self.perm_out_pos, axis=1)
 
     def nnz(self):
@@ -522,13 +564,14 @@ class PermutedBlockSparseOp(LinearOp):
         return d
 
     def tree_flatten(self):
-        return (self.inner, self.perm_in, self.perm_out_pos), (self.shape,)
+        return (self.inner, self.perm_in, self.perm_out_pos), \
+            (self.shape, self.layout_in, self.layout_out)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
         op.inner, op.perm_in, op.perm_out_pos = children
-        op.shape, = aux
+        op.shape, op.layout_in, op.layout_out = aux
         return op
 
 

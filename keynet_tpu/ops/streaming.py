@@ -654,8 +654,17 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     inner = packer.finalize()
     rpos = np.empty(n_out, dtype=np.int64)
     rpos[perm_out] = np.arange(n_out)
+    # structured layout descriptors: apply-time permutations become
+    # reshape/transpose (HBM-bandwidth) instead of 1-D gathers (~0.27 GB/s)
+    if run_p_out is not None:
+        lay_out = ("run", outshape[0], outshape[1] * outshape[2], run_p_out)
+        lay_in = ("run", inshape[0], inshape[1] * inshape[2], run_p_in)
+    else:
+        lay_out = ("blk", outshape[0], outshape[1], outshape[2], bh, bw)
+        lay_in = ("blk", inshape[0], inshape[1], inshape[2], bh * stride, bw * stride)
     op = PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
-                               jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in))
+                               jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in),
+                               layout_in=lay_in, layout_out=lay_out)
     op.streaming_stats = {"strips": n_strips, "extrapolated": len(extrapolated),
                           "period": period, "unique_tiles": packer.n_unique(),
                           "folded": folded, "run_layout": run_p_out is not None}

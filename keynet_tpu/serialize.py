@@ -36,6 +36,8 @@ def _op_state(op):
         arrs.update({"perm_in": np.asarray(op.perm_in),
                      "perm_out_pos": np.asarray(op.perm_out_pos)})
         meta["outer_shape"] = op.shape
+        meta["layout_in"] = op.layout_in
+        meta["layout_out"] = op.layout_out
         return "permuted_block", arrs, meta
     if isinstance(op, EllOp):
         return "ell", {"cols": np.asarray(op.cols), "vals": np.asarray(op.vals)}, \
@@ -68,7 +70,9 @@ def _op_restore(kind, arrs, meta):
         inner = _op_restore("block", arrs, meta)
         return PermutedBlockSparseOp(inner, jnp.asarray(arrs["perm_in"]),
                                      jnp.asarray(arrs["perm_out_pos"]),
-                                     tuple(meta["outer_shape"]))
+                                     tuple(meta["outer_shape"]),
+                                     layout_in=meta.get("layout_in"),
+                                     layout_out=meta.get("layout_out"))
     if kind == "ell":
         return EllOp(jnp.asarray(arrs["cols"]), jnp.asarray(arrs["vals"]),
                      tuple(meta["shape"]), meta["nnz"])

@@ -282,3 +282,35 @@ def test_bf16_block_op_state_roundtrip():
     assert op2.tiles.dtype == jnp.bfloat16
     x = jnp.asarray(rng.standard_normal((3, 90)).astype(np.float32))
     assert np.abs(np.asarray(op.apply(x)) - np.asarray(op2.apply(x))).max() == 0.0
+
+
+def test_structured_layout_apply_equals_gather():
+    """PermutedBlockSparseOp's reshape/transpose layout path must match the
+    generic gather path exactly (the gathers measured ~0.27 GB/s on v5e; the
+    structured path runs at HBM bandwidth)."""
+    import numpy as np
+    import scipy.sparse
+    import jax.numpy as jnp
+    from keynet_tpu.ops.operators import (PermutedBlockSparseOp, conv_layout_perm,
+                                          run_layout_perm, conv_layout_blocks)
+    rng = np.random.default_rng(0)
+    for shape, mk in [((4, 8, 8), "blk"), ((4, 8, 8), "run")]:
+        C, H, W = shape
+        n = C * H * W + 1
+        A = scipy.sparse.random(n, n, density=0.02, random_state=1, format="csr",
+                                dtype=np.float32)
+        if mk == "blk":
+            b = conv_layout_blocks(shape)
+            perm = conv_layout_perm(shape, homogeneous=True, blocks=b)
+            lay = ("blk", C, H, W, *b)
+        else:
+            p = 16
+            perm = run_layout_perm(shape, p, homogeneous=True)
+            lay = ("run", C, H * W, p)
+        op_g = PermutedBlockSparseOp.from_scipy(A, perm, perm)
+        op_s = PermutedBlockSparseOp.from_scipy(A, perm, perm,
+                                                layout_in=lay, layout_out=lay)
+        x = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+        yg = np.asarray(op_g.apply(x))
+        ys = np.asarray(op_s.apply(x))
+        np.testing.assert_allclose(ys, yg, atol=1e-6)
