@@ -301,13 +301,33 @@ class StreamingBlockPacker:
             import xxhash
             self._hash = xxhash.xxh3_128_digest
         self._uniq = {}
-        self._tiles = [np.zeros((self.TM, self.TN), dtype=np.float32)]
-        self._uniq[self._key(self._tiles[0])] = 0
+        # Unique tiles in fixed-size chunks, each byte written exactly once:
+        # first-touch page faults run at ~100 MB/s on the target VM, so a
+        # geometrically-grown buffer (rewrites everything per doubling) or a
+        # finalize-time np.stack (one more full pass) costs tens of seconds
+        # per 1e3+-tile layer.  finalize() uploads chunks and concatenates
+        # on DEVICE.
+        self._chunk = 1024
+        self._chunks = [np.empty((self._chunk, self.TM, self.TN), dtype=np.float32)]
+        self._chunks[0][0] = 0.0
+        self._n_tiles = 1  # tile 0 is the zero tile
+        self._uniq[self._key(self._chunks[0][0])] = 0
         self._rb_slots = [[] for _ in range(self.n_rb)]  # (col_blk, tile_id)
         # stored COO entries per slot (parallel to _rb_slots): keeps nnz
         # accounting exact and path-independent when strips are extrapolated
         self._rb_slot_entries = [[] for _ in range(self.n_rb)]
         self.nnz = 0
+
+    def _tile(self, tid):
+        return self._chunks[tid // self._chunk][tid % self._chunk]
+
+    def _add_tile(self, tile):
+        if self._n_tiles == len(self._chunks) * self._chunk:
+            self._chunks.append(np.empty((self._chunk, self.TM, self.TN),
+                                         dtype=np.float32))
+        self._chunks[self._n_tiles // self._chunk][self._n_tiles % self._chunk] = tile
+        self._n_tiles += 1
+        return self._n_tiles - 1
 
     def _key(self, tile):
         if self._native is not None:
@@ -334,12 +354,11 @@ class StreamingBlockPacker:
             hashes = self._native.tile_hashes(placed)
             for i, (p, h) in enumerate(zip(placed_pairs, hashes)):
                 tid = self._uniq.get(int(h))
-                if tid is not None and not np.array_equal(self._tiles[tid], placed[i]):
+                if tid is not None and not np.array_equal(self._tile(tid), placed[i]):
                     tid = None  # 64-bit hash collision: force a new unique id
                 if tid is None:
-                    tid = len(self._tiles)
+                    tid = self._add_tile(placed[i])
                     self._uniq[int(h)] = tid
-                    self._tiles.append(placed[i].copy())
                 self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
                 self._rb_slot_entries[int(p // self.n_cb)].append(int(entry_counts[i]))
             return
@@ -354,9 +373,8 @@ class StreamingBlockPacker:
             key = self._hash(placed[i].tobytes())
             tid = self._uniq.get(key)
             if tid is None:
-                tid = len(self._tiles)
+                tid = self._add_tile(placed[i])
                 self._uniq[key] = tid
-                self._tiles.append(placed[i].copy())
             self._rb_slots[int(p // self.n_cb)].append((int(p % self.n_cb), tid))
             self._rb_slot_entries[int(p // self.n_cb)].append(int(entry_counts[i]))
 
@@ -371,13 +389,21 @@ class StreamingBlockPacker:
         period = find_row_period(tile_ids) if detect_period else None
         dtype = jnp.bfloat16 if GLOBAL.get("TILE_DTYPE") == "bfloat16" \
             else jnp.float32
-        return BlockSparseOp(jnp.asarray(np.stack(self._tiles), dtype=dtype),
+        parts = []
+        left = self._n_tiles
+        for c in self._chunks:
+            parts.append(jnp.asarray(c[:min(left, self._chunk)], dtype=dtype))
+            left -= self._chunk
+            if left <= 0:
+                break
+        tiles_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return BlockSparseOp(tiles_dev,
                              jnp.asarray(tile_ids), jnp.asarray(col_blk),
                              self.shape, (self.TM, self.TN), self.nnz,
                              period=period)
 
     def n_unique(self):
-        return len(self._tiles)
+        return self._n_tiles
 
 
 @jax.tree_util.register_pytree_node_class

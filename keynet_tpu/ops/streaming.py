@@ -356,6 +356,31 @@ def factor_left_perm(M, ps):
     return p, g, scipy.sparse.csr_matrix(Bt.T)
 
 
+def _dominant_split(A, max_residual=0.7):
+    """Per-row dominant entry of a key matrix: returns (c, v, L) with
+    ``A[r, :] == v[r]·e_{c[r]} + L[r, :]`` and L the residual, or None when a
+    row is empty/all-zero or the residual keeps more than ``max_residual`` of
+    the entries (then the split would not pay)."""
+    A = scipy.sparse.csr_matrix(A)
+    n = A.shape[0]
+    counts = np.diff(A.indptr)
+    if (counts == 0).any():
+        return None
+    rows = np.repeat(np.arange(n), counts)
+    order = np.lexsort((np.abs(A.data), rows))
+    sel = order[np.cumsum(counts) - 1]     # max-|value| entry per row
+    c = A.indices[sel].astype(np.int64)
+    v = A.data[sel].astype(np.float32)
+    if (v == 0).any():
+        return None
+    L = A.copy()
+    L.data[sel] = 0.0
+    L.eliminate_zeros()
+    if L.nnz > max_residual * A.nnz:
+        return None
+    return c, v, scipy.sparse.csr_matrix(L)
+
+
 def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                          tileshape=(128, 128), strip_rows_target=None,
                          periodic_fastpath=True, rng=None,
@@ -569,6 +594,26 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         wcache[key] = (needed, W)
         return W
 
+    # Dominant-entry key split (conversion speed): write each output-key row
+    # as  A[r,:] = v(r)·e_{c(r)} + L[r,:]  with (c, v) the largest-|value|
+    # entry.  The strip product then becomes a scaled Toeplitz-row emission
+    # plus a spgemm on only the residual L — for near-identity or
+    # permutation∘Givens keys this removes the dominant share of the generic
+    # spgemm work.  Enabled when the residual is at most ~70% of the key.
+    domL = None
+    if not A_ident:
+        f = _dominant_split(A32)
+        if f is not None:
+            domL = f  # (c, v, L)
+    dR = R32 = None
+    if not Ainv_ident:
+        d = Ainv32.diagonal()
+        if (d != 0).all():
+            R = (Ainv32 - scipy.sparse.diags(d, format="csr", dtype=np.float32)).tocsr()
+            R.eliminate_zeros()
+            if 2 * R.nnz <= Ainv32.nnz:
+                dR, R32 = d.astype(np.float32), R
+
     def compute_strip(rb0, nrb):
         r0 = rb0 * TM
         r1 = min(n_out, (rb0 + nrb) * TM)
@@ -577,12 +622,36 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
             S = _relabel(toeplitz_conv2d_rows(inshape, weight, bias, stride,
                                               strip_rows, cache=emission_cache,
                                               pool=pool))
+        elif domL is not None:
+            cdom, vdom, L32 = domL
+            # compute the residual product FIRST: its spgemm output owns its
+            # memory, so the second emission below can safely reuse the pool
+            # buffers the first one wrote
+            Ls = L32[strip_rows]
+            Smix = None
+            if Ls.nnz:
+                needed = np.unique(Ls.indices)
+                Smix = Ls[:, needed] @ _W_rows(needed)
+            W_s = _W_rows(cdom[strip_rows])
+            # v(r)·W[c(r)] row scaling into a fresh data array (W_s may alias
+            # pool buffers or live in wcache — never mutate either)
+            W_s = scipy.sparse.csr_matrix(
+                (W_s.data * np.repeat(vdom[strip_rows], np.diff(W_s.indptr)),
+                 W_s.indices, W_s.indptr), shape=W_s.shape)
+            S = W_s + Smix if Smix is not None else W_s
         else:
             A_strip = A32[strip_rows]
             needed = np.unique(A_strip.indices)
             S = A_strip[:, needed] @ _W_rows(needed)
         if not Ainv_ident:
-            S = S @ Ainv32
+            if dR is not None:
+                T = S @ R32 if R32.nnz else None
+                S = scipy.sparse.csr_matrix(S, copy=(S.data.base is not None))
+                S.data *= dR[S.indices]     # S·D' column scaling
+                if T is not None:
+                    S = S + T
+            else:
+                S = S @ Ainv32
         S = S.tocoo(copy=False)  # consumed immediately; may alias pool buffers
         packer.add_strip(S.row.astype(np.int32) + np.int32(r0), cpos[S.col], S.data)
 
