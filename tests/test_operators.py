@@ -314,3 +314,34 @@ def test_structured_layout_apply_equals_gather():
         yg = np.asarray(op_g.apply(x))
         ys = np.asarray(op_s.apply(x))
         np.testing.assert_allclose(ys, yg, atol=1e-6)
+
+
+def test_packer_chunked_tiles_cross_boundary():
+    """StreamingBlockPacker stores unique tiles in 1024-tile chunks and
+    concatenates on device at finalize; a matrix with >1024 unique tiles must
+    round-trip exactly across the chunk boundary."""
+    import numpy as np
+    import scipy.sparse
+    import jax.numpy as jnp
+    from keynet_tpu.ops.operators import StreamingBlockPacker
+    rng = np.random.default_rng(0)
+    T, nt = 8, 1100                       # 1100 unique 8x8 tiles, 2 chunks
+    n = T * nt
+    rows = np.repeat(np.arange(n), 2)
+    cols = np.concatenate([np.stack([np.full(T, b * T) + rng.integers(0, T, T),
+                                     np.full(T, b * T) + rng.integers(0, T, T)],
+                                    axis=1).reshape(-1) + 0
+                           for b in range(nt)])
+    vals = rng.standard_normal(2 * n).astype(np.float32)
+    A = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    p = StreamingBlockPacker((n, n), (T, T))
+    counts = np.diff(A.indptr)
+    rr = np.repeat(np.arange(n, dtype=np.int64), counts)
+    p.add_strip(rr, A.indices.astype(np.int64), A.data)
+    op = p.finalize(detect_period=False)
+    assert p.n_unique() > 1024  # crosses a chunk boundary
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    y = np.asarray(op.apply(jnp.asarray(x)))
+    exp = (A @ x.T).T
+    np.testing.assert_allclose(y[:, :n], exp, atol=1e-4)
