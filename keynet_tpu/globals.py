@@ -32,6 +32,13 @@ GLOBAL = {
     "TILE_DTYPE": "float32",
     # periodic apply path: cap on the gathered x-blocks materialized per einsum
     "PERIODIC_X_CHUNK_BYTES": 256 << 20,
+    # strength of the secret conversion-time masks (streaming.split_dense_inverse,
+    # _block_orth_key): each masked p-block gets ceil(p*MASK_ALPHA/2) balanced
+    # Givens rotations, i.e. every coordinate is mixed >= MASK_ALPHA times, so
+    # no row of a published factor can equal a row of the underlying key factor
+    # (round-2 advisory: 2 fixed rotations left E near-identity and leaked
+    # the dense inverse block almost verbatim).
+    "MASK_ALPHA": 2,
 }
 
 

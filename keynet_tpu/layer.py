@@ -52,11 +52,15 @@ class KeyedLayer:
     """
 
     def __init__(self, module=None, inshape=None, outshape=None, A=None, Ainv=None,
-                 params=None, tileshape=None, W=None, format=None):
+                 params=None, tileshape=None, W=None, format=None, rng=None):
         self._inshape = inshape
         self._outshape = outshape
         self._tileshape = tileshape
         self._relu = False
+        # Secret-mask rng: factories thread one derived from the keygen seed so
+        # conversions are reproducible (same seed -> same published artifact);
+        # an unseeded default keeps ad-hoc constructions secret-by-default.
+        self._rng = rng if rng is not None else np.random.default_rng()
 
         # Dense-blocks inverse input keys (doubly-stochastic locals) are split
         # behind a secret sparse re-key R so the p²-per-row fill of W·A⁻¹
@@ -69,7 +73,8 @@ class KeyedLayer:
             from .ops.streaming import split_dense_inverse
             npix = inshape[1] * inshape[2]
             divs = [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
-            s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs)
+            s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs,
+                                    rng=self._rng)
             if s is not None:
                 Ainv, f2 = s
         self._pending_f2 = f2
@@ -97,7 +102,10 @@ class KeyedLayer:
                 self._op = masked_keyed_conv_streaming(inshape, outshape,
                                                        params["weight"],
                                                        params["bias"],
-                                                       module.stride, A_, Ainv_)
+                                                       module.stride, A_, Ainv_,
+                                                       rng=self._rng,
+                                                       tileshape=tileshape
+                                                       or DEFAULT_TILE)
                 self._chain_f2()
                 self.W = None
                 self.shape = self._op.shape
@@ -173,10 +181,13 @@ class KeyedLayer:
         """Pick the device format.  Linear layers are dense by nature; spatial
         layers (conv/avgpool/keyed-relu) that exceed the dense budget are
         packed as Block-ELL under the channel-minor pixel-block layout, with
-        ELL scalar-sparse as the scattered-key fallback."""
+        ELL scalar-sparse as the scattered-key fallback.  A user-supplied
+        ``tileshape`` (Tiled*Keynet tilesize, MXU-snapped by
+        system.repair_tileshape) sets the Block-ELL device tile."""
         n_out, n_in = W_hom.shape
+        tile = self._tileshape or DEFAULT_TILE
         if format is not None:
-            return materialize(W_hom, format=format)
+            return materialize(W_hom, tileshape=tile, format=format)
         # pooling / keyed-ReLU matrices are a few nnz per row (pool window x
         # key fill); ELL beats dense on both HBM (8 bytes/nnz vs the full
         # n_out*n_in) and wall clock (measured 3.0 ms vs 4.3 ms dense at the
@@ -202,7 +213,7 @@ class KeyedLayer:
             perm_in = conv_layout_perm(self._inshape, homogeneous=hom_in, blocks=bi)
             perm_out = conv_layout_perm(self._outshape, homogeneous=hom_out, blocks=bo)
             op = PermutedBlockSparseOp.from_scipy(
-                W_hom, perm_out, perm_in, tileshape=DEFAULT_TILE,
+                W_hom, perm_out, perm_in, tileshape=tile,
                 max_pack_bytes=max(8 * ell_bytes, GLOBAL["DENSE_MAX_BYTES"]),
                 layout_in=("blk", *self._inshape, *bi) if hom_in else None,
                 layout_out=("blk", *self._outshape, *bo) if hom_out else None)

@@ -159,6 +159,19 @@ def factor_left_identical(M, ps):
     return None
 
 
+def _mask_rotations(p):
+    """Givens rotations for a secret p-block mask: ceil(p*MASK_ALPHA/2),
+    so every coordinate participates in >= MASK_ALPHA rotations under the
+    balanced-pair draw (keys.givens_orthogonal_matrix).  With the round-2
+    value of 2 *total* rotations, E was near-identity and the published
+    F2 = I⊗(EᵀD₀) exposed most rows of the secret dense block verbatim;
+    full coverage guarantees no row of E is a coordinate vector, so no row
+    of a published factor matches the corresponding key-factor row
+    (tests/test_streaming.py::test_mask_factors_do_not_leak_key_rows)."""
+    from ..globals import GLOBAL
+    return int(max(p, -(-p * int(GLOBAL.get("MASK_ALPHA", 2)) // 2)))
+
+
 def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
     """Split a dense-blocks inverse input key behind a secret sparse re-key.
 
@@ -166,17 +179,20 @@ def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
     (reference keynet/sparse.py:345-356), so Ŵ = A·W·A⁻¹ fills to ~p·taps
     nonzeros per row — unmaterializable at VGG scale for the reference and
     for any entry-storing format here.  Instead, draw a secret block-local
-    orthogonal key R = P'·(I⊗E) (E sparse Givens, E⁻¹ = Eᵀ exact) and publish
-    the layer as the chain
+    orthogonal key R = P'·(I⊗E) (E a balanced product of ceil(p·MASK_ALPHA/2)
+    Givens rotations, see _mask_rotations; E⁻¹ = Eᵀ exact) and publish the
+    layer as the chain
 
-        F1 = A·W·R   (thin: R only relabels/mixes within blocks)
+        F1 = A·W·R   (thin: R mixes within blocks with ~2^MASK_ALPHA fill/row)
         F2 = R⁻¹·A⁻¹ = I⊗(Eᵀ·D₀) + bias   (ONE dense p² block, RepeatedBlockDiagOp)
 
     F1·F2 == Ŵ exactly; R is returned for use as the conversion-time
     right-key and must be DISCARDED after conversion.  Publishing (F1, F2) is
-    a standard 2-link keyed chain: recovering A⁻¹ from F2 requires R, and the
-    intermediate activation is keyed by the orthogonal R (the reference's own
-    keyed-interface construction, keynet/system.py:96-101).
+    a standard 2-link keyed chain: every coordinate of the secret E mixes at
+    least MASK_ALPHA times, so no row of F2's block equals a row of D₀ and
+    the intermediate activation is keyed by the orthogonal R (the reference's
+    own keyed-interface construction, keynet/system.py:96-101); the written
+    argument is docs/DESIGN.md §masked-re-keying.
 
     Returns (R_csr, F2_op) or None when Ainv is thin (mean row fill below
     ``min_density``) or lacks the identical-dense-block structure.
@@ -191,7 +207,7 @@ def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
     from ..keys import givens_orthogonal_matrix, repeat_block_diagonal
     from ..homogeneous import sparse_affine_to_linear
     rng = rng or np.random.default_rng()
-    E, Einv = givens_orthogonal_matrix(p, 2, rng, withinverse=True)
+    E, Einv = givens_orthogonal_matrix(p, _mask_rotations(p), rng, withinverse=True)
     E = scipy.sparse.csr_matrix(E, dtype=np.float32)
     IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)))
     R = sparse_affine_to_linear(IE[g])          # P'·(I⊗E), homogeneous
@@ -241,12 +257,13 @@ def _run_block_perm(N, p, C, rng, tile=128):
 
 def _block_orth_key(n, p, rng):
     """Secret block-local orthogonal mix: one (perm·givens) block repeated on
-    the p-sized run grid; inverse = exact transpose.  Returns (K, Kinv)
-    homogeneous CSR."""
+    the p-sized run grid; inverse = exact transpose.  The Givens factor uses
+    _mask_rotations(p) rotations (full balanced coverage) so the mix is far
+    from identity in every coordinate.  Returns (K, Kinv) homogeneous CSR."""
     from ..keys import permutation_matrix, givens_orthogonal_matrix, repeat_block_diagonal
     from ..homogeneous import sparse_affine_to_linear
     Pm = permutation_matrix(p, rng)
-    S = givens_orthogonal_matrix(p, 2, rng)
+    S = givens_orthogonal_matrix(p, _mask_rotations(p), rng)
     E = scipy.sparse.csr_matrix(Pm @ S, dtype=np.float32)
     IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)), dtype=np.float32)
     return (scipy.sparse.csr_matrix(sparse_affine_to_linear(IE), dtype=np.float32),
@@ -335,11 +352,23 @@ def masked_keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv
         Ainv_M = Pi @ Ki                   # π_i·(I⊗E_i)
     M = keyed_conv_streaming(inshape, outshape, weight, bias, stride,
                              A_M, Ainv_M, rng=rng, **stream_kwargs)
+
+    def _thin(F):
+        """ELL when the max row fill respects the ELL gate (a single heavy row
+        would inflate EllOp to n_out x K_max slots); otherwise let the generic
+        format heuristic choose."""
+        F = scipy.sparse.csr_matrix(F)
+        K = int(np.diff(F.indptr).max()) if F.nnz else 1
+        from ..globals import GLOBAL
+        if K <= int(GLOBAL.get("ELL_MAX_K", 128)):
+            return materialize(F, format="ell")
+        return materialize(F)
+
     if F2 is not None:
-        ops.append(materialize(F2, format="ell"))
+        ops.append(_thin(F2))
     ops.append(M)
     if F1 is not None:
-        ops.append(materialize(F1, format="ell"))
+        ops.append(_thin(F1))
     op = ChainedOp(ops)
     op.streaming_stats = dict(M.streaming_stats, masked_out=p_o, masked_in=p_i)
     return op

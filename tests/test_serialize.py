@@ -67,3 +67,46 @@ def test_block_sparse_op_roundtrip(tmp_path):
         assert np.allclose(y0, np.asarray(knet2.forward(xc)), atol=1e-6)
     finally:
         GLOBAL["DENSE_MAX_BYTES"] = old
+
+
+def test_chain_and_repblockdiag_roundtrip(tmp_path):
+    """A split/masked layer checkpoint (ChainedOp containing a
+    RepeatedBlockDiagOp and a layout-carrying streamed PermutedBlockSparseOp)
+    must round-trip exactly (round-2 advisory: these kinds had no test)."""
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import (ChainedOp, RepeatedBlockDiagOp,
+                                          PermutedBlockSparseOp)
+    from keynet_tpu.models.specs import Model, Conv2d, ReLU, Linear
+    old = GLOBAL["STREAM_NNZ"]
+    GLOBAL["STREAM_NNZ"] = 100_000  # force the streaming/masked path at 28x28
+    try:
+        net = Model([Conv2d("conv1", 4, 4, 3), ReLU("relu1"),
+                     Linear("fc1", 4 * 28 * 28, 10)],
+                    inshape=(4, 28, 28), seed=2)
+        sensor, knet = keynet.Keynet((4, 28, 28), net,
+                                     global_geometric="hierarchical_permutation",
+                                     hierarchical_blockshape=(2, 2),
+                                     hierarchical_permute_at_level=(0, 1),
+                                     local_geometric="doubly_stochastic", alpha=2,
+                                     blocksize=14,
+                                     local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, seed=3)
+        kinds = {type(l.op()).__name__ for l in knet.layers().values()
+                 if l != "relu"}
+        assert "ChainedOp" in kinds, kinds
+        chain = next(l.op() for l in knet.layers().values()
+                     if l != "relu" and type(l.op()).__name__ == "ChainedOp")
+        sub = {type(o).__name__ for o in chain.ops}
+        assert "RepeatedBlockDiagOp" in sub and "PermutedBlockSparseOp" in sub, sub
+        assert any(isinstance(o, PermutedBlockSparseOp) and o.layout_in is not None
+                   for o in chain.ops)
+        x = np.random.default_rng(0).normal(size=(2, 4, 28, 28)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "chain.npz")
+        save_keynet(p, knet, sensor=sensor, include_keys=True)
+        _, knet2 = load_keynet(p)
+        y1 = np.asarray(knet2.forward(xc))
+        assert np.array_equal(y0, y1)  # same arrays, same program: bitwise
+    finally:
+        GLOBAL["STREAM_NNZ"] = old

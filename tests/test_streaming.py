@@ -264,3 +264,76 @@ def test_split_dense_inverse_factors_exact():
     y = (scipy.sparse.csr_matrix(R, dtype=np.float32) @ y_f2.T).T
     exp = (scipy.sparse.csr_matrix(Ainv, dtype=np.float32) @ X.T).T
     assert np.abs(y - exp).max() < 1e-4 * max(1.0, np.abs(exp).max())
+
+
+def test_mask_factors_do_not_leak_key_rows():
+    """Round-2 advisory (high): with 2 total Givens rotations the secret mask E
+    was near-identity, so the published F2 = I⊗(EᵀD₀) exposed most rows of the
+    secret dense inverse block verbatim.  With full balanced coverage
+    (_mask_rotations: every coordinate mixed >= MASK_ALPHA times) no row of a
+    published factor may match any row of the key factor, and no row of the
+    secret re-key may be a coordinate vector."""
+    from keynet_tpu.ops.streaming import (split_dense_inverse, _block_orth_key,
+                                          _mask_rotations, factor_left_identical)
+    cfg = dict(local_geometric="doubly_stochastic", alpha=2, blocksize=14,
+               local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
+    _, Ainv = keys.keygen((4, 28, 28), seed=5, **cfg)
+    Ainv = scipy.sparse.csr_matrix(Ainv)
+    divs = [d for d in range(2, 785) if 784 % d == 0]
+    p, g, D0, b0 = factor_left_identical(Ainv, divs)
+    R, f2 = split_dense_inverse(Ainv, divs, rng=np.random.default_rng(11))
+    F = np.asarray(f2.F)
+    # no row of the published dense block matches ANY row of the secret block
+    d = np.abs(F[:, None, :] - D0[None, :, :]).max(axis=2)
+    assert float(d.min()) > 1e-3, "published F2 row reproduces a secret D0 row"
+    # the secret re-key has no coordinate-vector rows (every row a real mix)
+    Rc = scipy.sparse.csr_matrix(R)
+    n = Rc.shape[0] - 1
+    assert (np.diff(Rc.indptr)[:n] >= 2).all()
+    # conversion-time block-orthogonal mask: same property
+    K, _ = _block_orth_key(784 * 4, 196, np.random.default_rng(12))
+    assert (np.diff(scipy.sparse.csr_matrix(K).indptr)[:784 * 4] >= 2).all()
+    assert _mask_rotations(196) >= 196
+
+
+def test_published_factor_applied_to_cipher_is_not_plaintext():
+    """Advisor attack scenario: applying the published F2 to a keyed activation
+    must NOT yield (permutation-masked) plaintext — with full-coverage masks
+    essentially no output coordinate equals any plaintext value."""
+    from keynet_tpu.ops.streaming import split_dense_inverse
+    cfg = dict(local_geometric="doubly_stochastic", alpha=2, blocksize=14)
+    A, Ainv = keys.keygen((4, 28, 28), seed=9, **cfg)
+    divs = [d for d in range(2, 785) if 784 % d == 0]
+    s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs,
+                            rng=np.random.default_rng(13))
+    assert s is not None
+    R, f2 = s
+    n = Ainv.shape[0] - 1
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    xh = np.concatenate([x, [1.0]]).astype(np.float32)
+    cipher = np.asarray(scipy.sparse.csr_matrix(A, dtype=np.float32) @ xh,
+                        dtype=np.float32)
+    leaked = np.asarray(f2.apply(jnp.asarray(cipher[None])))[0][:n]
+    # 1e-6 tolerance: an actual pass-through coordinate survives f32 round-trip
+    # to ~1e-7, while random near-coincidences among ~3e3 standard normals
+    # (typical spacing ~1e-3) stay below the 2% budget
+    close = np.abs(leaked[:, None] - x[None, :]).min(axis=1) < 1e-6
+    assert float(close.mean()) < 0.02, \
+        "published F2 applied to cipher reveals %.0f%% of plaintext values" \
+        % (100 * close.mean())
+
+
+def test_masked_conversion_is_seed_reproducible():
+    """Two conversions with the same rng seed must publish bit-identical
+    factors (round-2 advisory: unseeded masks made artifacts unreproducible)."""
+    from keynet_tpu.ops.streaming import split_dense_inverse
+    cfg = dict(local_geometric="doubly_stochastic", alpha=2, blocksize=14)
+    _, Ainv = keys.keygen((4, 28, 28), seed=9, **cfg)
+    divs = [d for d in range(2, 785) if 784 % d == 0]
+    R1, f1 = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs,
+                                 rng=np.random.default_rng(21))
+    R2, f2 = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs,
+                                 rng=np.random.default_rng(21))
+    assert (R1 != R2).nnz == 0
+    assert np.array_equal(np.asarray(f1.F), np.asarray(f2.F))
