@@ -30,7 +30,13 @@ def main(imgfile=None):
     print("keygen: %.1f s  %r" % (time.time() - t0, sensor))
 
     if imgfile:
-        sensor.load(imgfile)
+        # VGGFace eval preprocessing (reference keynet/vgg.py:23-35): resize
+        # shortest side to 256, center-crop 224, BGR mean-pixel subtraction —
+        # the tensor a VGGFace checkpoint expects through the keynet.
+        from PIL import Image
+        from keynet_tpu.models import vgg16_preprocess
+        chw = vgg16_preprocess()(Image.open(imgfile))
+        sensor.fromtensor(chw[None])
     else:
         rng = np.random.default_rng(0)
         yy, xx = np.mgrid[0:224, 0:224]

@@ -100,3 +100,57 @@ def VGG16(num_classes=2622, seed=0):
                Dropout("dropout7", 0.5), Linear("fc7", 4096, 4096), ReLU("relu7"),
                Dropout("dropout8", 0.5), Linear("fc8", 4096, num_classes)]
     return Model(layers, inshape=(3, 224, 224), seed=seed)
+
+
+# ------------------------------------------------- VGG-16 image preprocessing
+
+def prepare_vgg16_image(img):
+    """Convert a resized/cropped RGB image (PIL or HxWx3 array) to the float
+    CHW tensor the VGGFace checkpoint expects: RGB->BGR channel swap,
+    mean-pixel subtraction (VGG16_BGR_MEAN), then HWC->CHW
+    (reference keynet/vgg.py:9-20; returns numpy instead of a torch tensor).
+    """
+    import numpy as np
+    arr = np.asarray(img, dtype=np.float32)
+    assert arr.ndim == 3 and arr.shape[2] == 3, "expected HxWx3 RGB image"
+    bgr = arr[..., [2, 1, 0]] - np.asarray(VGG16_BGR_MEAN, dtype=np.float32)
+    return np.ascontiguousarray(np.rollaxis(bgr, 2, 0))
+
+
+def vgg16_preprocess(jitter=False, blur_radius=None, blur_prob=1.0, rng=None):
+    """Preprocessing pipeline for VGGFace evaluation through a keynet
+    (reference keynet/vgg.py:23-35): resize shortest side to 256, then
+    center-crop 224x224 (eval) or random-crop + random horizontal flip
+    (``jitter=True``, train), optional Gaussian blur with probability
+    ``blur_prob``, then prepare_vgg16_image.
+
+    Returns a callable PIL.Image -> float32 (3,224,224) numpy array.
+    PIL-native (no torchvision); the reference's blur branch referenced an
+    undefined ``generate_random_blur`` (latent NameError, vgg.py:32) — here it
+    is implemented as PIL GaussianBlur.  ``rng`` seeds the jitter/blur draws.
+    """
+    import numpy as np
+    from PIL import Image, ImageFilter
+    rng = rng if rng is not None else np.random.default_rng()
+
+    def _apply(im):
+        im = im.convert("RGB")
+        w, h = im.size
+        scale = 256.0 / min(w, h)                    # torchvision Resize(256)
+        im = im.resize((max(1, round(w * scale)), max(1, round(h * scale))),
+                       Image.BILINEAR)
+        w, h = im.size
+        if jitter:
+            i = int(rng.integers(0, h - 224 + 1))
+            j = int(rng.integers(0, w - 224 + 1))
+            im = im.crop((j, i, j + 224, i + 224))
+            if rng.random() < 0.5:
+                im = im.transpose(Image.FLIP_LEFT_RIGHT)
+        else:                                        # CenterCrop(224)
+            i, j = (h - 224) // 2, (w - 224) // 2
+            im = im.crop((j, i, j + 224, i + 224))
+        if blur_radius is not None and blur_prob > 0 and rng.random() < blur_prob:
+            im = im.filter(ImageFilter.GaussianBlur(radius=blur_radius))
+        return prepare_vgg16_image(im)
+
+    return _apply

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .globals import vprint
-from .util import find_closest_positive_divisor
+from .util import find_closest_positive_divisor  # noqa: F401  (public re-export)
 from .homogeneous import affine_to_linear, linear_to_affine, mat2gray_key
 from .keys import keygen, identity_matrix
 from .layer import KeyedLayer

@@ -118,3 +118,50 @@ def test_nonrelu_layer_named_like_relu_is_not_skipped():
     y = np.asarray(knet.forward(xc))
     y_src = np.asarray(net.forward(x))
     assert np.abs(y - y_src.reshape(y.shape)).max() < 1e-5
+
+
+def test_tileshape_honored_by_device_format():
+    """VERDICT round-2 #5: Tiled*Keynet tilesize must actually change the
+    device tiling (Block-ELL granularity and bytes), with off-lane values
+    snapped to the MXU-compatible grid."""
+    import numpy as np
+    from keynet_tpu.system import repair_tileshape, layergen
+    from keynet_tpu.models.specs import Conv2d
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import PermutedBlockSparseOp
+
+    assert repair_tileshape(None) is None
+    assert repair_tileshape((128, 128)) == (128, 128)
+    assert repair_tileshape((4, 4)) == (4, 4)        # divisor of 128
+    assert repair_tileshape((14, 14)) == (16, 16)    # snapped (ref MNIST tile)
+    assert repair_tileshape((100, 300)) == (128, 256)
+
+    old = GLOBAL["DENSE_MAX_BYTES"]
+    GLOBAL["DENSE_MAX_BYTES"] = 1 << 16  # force the Block-ELL path
+    try:
+        from keynet_tpu import keys
+        rng = np.random.default_rng(0)
+        mod = Conv2d("conv1", 4, 4, 3)
+        params = {"weight": rng.standard_normal((4, 4, 3, 3)).astype(np.float32),
+                  "bias": rng.standard_normal(4).astype(np.float32)}
+        shape = (4, 16, 16)
+        A, Ainv = keys.keygen(shape, local_geometric="givens_orthogonal",
+                              alpha=8, blocksize=4,
+                              local_photometric="uniform_random_affine",
+                              beta=1.0, gamma=1.0, seed=3)
+        l128 = layergen(mod, shape, shape, A, Ainv, params=params)
+        l32 = layergen(mod, shape, shape, A, Ainv, params=params,
+                       tileshape=(30, 30))  # snaps to (32, 32)
+        assert isinstance(l128.op(), PermutedBlockSparseOp)
+        assert isinstance(l32.op(), PermutedBlockSparseOp)
+        assert l128.op().inner.tileshape == (128, 128)
+        assert l32.op().inner.tileshape == (32, 32)
+        assert l32.device_bytes() != l128.device_bytes()
+        # both tile granularities compute the same operator
+        x = rng.standard_normal((2, int(np.prod(shape)) + 1)).astype(np.float32)
+        import jax.numpy as jnp
+        y1 = np.asarray(l128.op().apply(jnp.asarray(x)))
+        y2 = np.asarray(l32.op().apply(jnp.asarray(x)))
+        assert np.abs(y1 - y2).max() < 1e-5
+    finally:
+        GLOBAL["DENSE_MAX_BYTES"] = old
