@@ -32,6 +32,13 @@ GLOBAL = {
     "TILE_DTYPE": "float32",
     # periodic apply path: cap on the gathered x-blocks materialized per einsum
     "PERIODIC_X_CHUNK_BYTES": 256 << 20,
+    # Kronecker-factored keyed convs (ops/kronfactor.py): 'auto' engages for
+    # streaming-scale convs whose keys have identical per-channel spatial
+    # blocks; 'never' disables (falls back to strip streaming)
+    "KRON_FACTORED": "auto",
+    # dense spatial factors are (npix, npix); cap the pixel count (1024 ->
+    # <= 4 MB per factor, covers VGG-224 conv4/conv5)
+    "KRON_NPIX_MAX": 1024,
     # strength of the secret conversion-time masks (streaming.split_dense_inverse,
     # _block_orth_key): each masked p-block gets ceil(p*MASK_ALPHA/2) balanced
     # Givens rotations, i.e. every coordinate is mixed >= MASK_ALPHA times, so

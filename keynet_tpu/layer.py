@@ -92,20 +92,32 @@ class KeyedLayer:
             pred_nnz = (module.out_channels * module.in_channels * module.kernel_size ** 2
                         * (inshape[1] // module.stride) * (inshape[2] // module.stride))
             if pred_nnz > GLOBAL.get("STREAM_NNZ", 30_000_000):
-                # VGG-224 scale: stream strips, never materialize Ŵ
+                # VGG-224 scale: never materialize Ŵ.  Keys with identical
+                # per-channel spatial blocks publish as a Kronecker-factored
+                # masked chain (tens of MB of dense factors + MXU matmuls,
+                # ops/kronfactor.py); everything else streams strips.
                 from .ops.streaming import masked_keyed_conv_streaming
+                from .ops.kronfactor import kron_factored_keyed_conv
                 import scipy.sparse as _sp
                 n_out = int(np.prod(outshape)) + 1
                 n_in = int(np.prod(inshape)) + 1
                 A_ = A if A is not None else _sp.identity(n_out, format="csr")
                 Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in, format="csr")
-                self._op = masked_keyed_conv_streaming(inshape, outshape,
-                                                       params["weight"],
-                                                       params["bias"],
-                                                       module.stride, A_, Ainv_,
-                                                       rng=self._rng,
-                                                       tileshape=tileshape
-                                                       or DEFAULT_TILE)
+                op = None
+                if GLOBAL.get("KRON_FACTORED", "auto") != "never":
+                    op = kron_factored_keyed_conv(inshape, outshape,
+                                                  params["weight"],
+                                                  params["bias"], module.stride,
+                                                  A_, Ainv_, rng=self._rng)
+                if op is None:
+                    op = masked_keyed_conv_streaming(inshape, outshape,
+                                                     params["weight"],
+                                                     params["bias"],
+                                                     module.stride, A_, Ainv_,
+                                                     rng=self._rng,
+                                                     tileshape=tileshape
+                                                     or DEFAULT_TILE)
+                self._op = op
                 self._chain_f2()
                 self.W = None
                 self.shape = self._op.shape

@@ -1,0 +1,186 @@
+"""Kronecker-factored keyed convolutions (round-3 VERDICT #2).
+
+A conv's Toeplitz matrix is exactly a sum of Kronecker products over its taps
+
+    W = Σ_o  k_o ⊗ T_o        (channel-major vector order)
+
+with k_o the (C_out, C_in) channel matrix of tap o and T_o the 0/1 pixel
+shift-with-edge-clipping matrix of that tap's offset.  When a layer's keys
+have identical per-channel spatial blocks — A = I_C ⊗ D̃ + p-periodic bias,
+the exact structure keygen's local (blockwise) keys produce in channel
+memoryorder (keys.keygen; reference keynet/system.py:370-412) — the keyed
+matrix Ŵ = A·W·A⁻¹ inherits the form
+
+    Ŵ = Σ_o  k_o ⊗ (D̃_out · T_o · D̃_in')
+
+Materializing this (as Block-ELL tiles) throws that structure away: at VGG
+conv5 scale every (channel-pair × pixel-pair) tile is distinct (~27 K unique
+tiles, ~GBs).  This module instead PUBLISHES the layer as a 3-link chain with
+secret Kronecker masks R = Q ⊗ E (Q, E dense orthogonal; discarded after
+conversion) and a secret tap-basis mixer G:
+
+    F1 = A · R_out              =  Q_out ⊗ (D̃_out·E_out)       KroneckerOp
+    M  = R_out⁻¹ · W · R_in     =  Σ_t K̃_t ⊗ S̃_t               TapSumOp
+    F2 = R_in⁻¹ · A⁻¹           =  Q_inᵀ ⊗ (E_inᵀ·D̃_in')       KroneckerOp
+
+    K̃_t = Σ_o (G⁻ᵀ)[t,o] · Q_outᵀ k_o Q_in
+    S̃_t = Σ_o G[t,o] · E_outᵀ T_o E_in
+
+F1·M·F2 == Ŵ exactly (each factor is the exact homogeneous matrix), at
+T·(C² + p²) + 2(C² + p²) floats — tens of MB where tiles need gigabytes —
+and the apply path is a short chain of dense MXU matmuls.
+
+Security (docs/DESIGN.md §kron-factored): every published array is the true
+key/weight factor masked by a secret dense orthogonal (or their composite);
+the tap mixer G prevents the known-values attack on the spatial factors
+(without it, the center tap publishes E_outᵀE_in since T_center = I).  The
+invariants an adversary can extract from the factors (tap-span of Ŵ, channel
+matrices up to orthogonal basis change) are computable from a materialized Ŵ
+as well — the factored publication reveals nothing the dense form does not.
+"""
+
+import numpy as np
+import scipy.sparse
+import jax.numpy as jnp
+
+from ..globals import GLOBAL, vprint
+from ..toeplitz import toeplitz_conv2d
+from .operators import KroneckerOp, TapSumOp, ChainedOp
+
+
+def identical_channel_blocks(A, npix, n_channels):
+    """Detect A = [[I_C ⊗ D̃, tile(b)], [0, 1]] for a homogeneous key matrix:
+    core block-diagonal at npix with ALL channel blocks identical and an
+    npix-periodic bias column.  Returns (D̃ dense (npix, npix) f32,
+    b (npix,) f32) or None.  D̃'s internal structure is irrelevant — any
+    per-channel-identical spatial key qualifies (local permutation, Givens,
+    doubly-stochastic, with local photometric gain/bias folded in)."""
+    from .streaming import _key_blocks_identical
+    n = A.shape[0] - 1
+    if n != npix * n_channels:
+        return None
+    if not _key_blocks_identical(A, npix):
+        return None
+    A = scipy.sparse.csr_matrix(A)
+    D = np.asarray(A[:npix, :npix].todense(), dtype=np.float32)
+    b = np.asarray(A[:npix, [n]].todense(), dtype=np.float32).ravel()
+    return D, b
+
+
+def random_orthogonal(m, rng):
+    """Haar-ish random dense orthogonal via QR with sign fix."""
+    Q, R = np.linalg.qr(rng.standard_normal((m, m)))
+    return np.ascontiguousarray(Q * np.sign(np.diag(R))[None, :]).astype(np.float32)
+
+
+def _tap_matrices(inshape, kh, kw, stride):
+    """T_o for every tap offset, built from the SAME Toeplitz lowering the
+    rest of the runtime uses (single-tap unit filters), so edge clipping and
+    stride semantics match bit-for-bit.  Returns list of (p2, p1) csr."""
+    _, H, W = inshape
+    taps = []
+    for dy in range(kh):
+        for dx in range(kw):
+            w1 = np.zeros((1, 1, kh, kw), dtype=np.float32)
+            w1[0, 0, dy, dx] = 1.0
+            taps.append(toeplitz_conv2d((1, H, W), w1, bias=None, stride=stride))
+    return taps
+
+
+def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
+                             A, Ainv, rng=None, selfcheck=True):
+    """Build the masked Kronecker chain for Ŵ = A·toeplitz(weight,bias)·A⁻¹.
+
+    Engages when both keys have identical per-channel spatial blocks (or are
+    identity) and the pixel counts are within GLOBAL['KRON_NPIX_MAX'] (dense
+    (npix, npix) spatial factors).  Returns a ChainedOp ([F2, M, F1] in apply
+    order) or None when the structure does not hold.  ``selfcheck`` verifies
+    the chain against a direct conv oracle on random vectors and rejects the
+    factorization on mismatch (fall back to streaming) — the fast path can
+    only be fast, never wrong.
+    """
+    C1, H1, W1 = inshape
+    C2, H2, W2 = outshape
+    p1, p2 = H1 * W1, H2 * W2
+    npix_max = int(GLOBAL.get("KRON_NPIX_MAX", 1024))
+    if p1 > npix_max or p2 > npix_max or p1 <= 1 or p2 <= 1:
+        return None
+    rng = rng if rng is not None else np.random.default_rng()
+
+    from ..layer import is_identity_key
+    if A is None or is_identity_key(A):
+        D_out = np.eye(p2, dtype=np.float32)
+        b_out = np.zeros(p2, dtype=np.float32)
+    else:
+        f = identical_channel_blocks(scipy.sparse.csr_matrix(A), p2, C2)
+        if f is None:
+            return None
+        D_out, b_out = f
+    if Ainv is None or is_identity_key(Ainv):
+        D_in = np.eye(p1, dtype=np.float32)
+        b_in = np.zeros(p1, dtype=np.float32)
+    else:
+        f = identical_channel_blocks(scipy.sparse.csr_matrix(Ainv), p1, C1)
+        if f is None:
+            return None
+        D_in, b_in = f
+
+    weight = np.asarray(weight, dtype=np.float32)
+    bias = np.asarray(bias, dtype=np.float32).reshape(-1) if bias is not None \
+        else np.zeros(C2, dtype=np.float32)
+    kh, kw = weight.shape[2], weight.shape[3]
+    T = kh * kw
+    taps = _tap_matrices(inshape, kh, kw, stride)
+    k_taps = weight.reshape(C2, C1, T).transpose(2, 0, 1)   # (T, C2, C1)
+
+    # secret masks (discarded with this function's frame)
+    Q_out = random_orthogonal(C2, rng)
+    E_out = random_orthogonal(p2, rng)
+    Q_in = random_orthogonal(C1, rng)
+    E_in = random_orthogonal(p1, rng)
+    G = rng.standard_normal((T, T))
+    while abs(np.linalg.det(G)) < 1e-6:          # secret tap-basis mixer
+        G = rng.standard_normal((T, T))
+    Hmix = np.linalg.inv(G).T
+
+    # published middle factors: Σ_t K̃_t ⊗ S̃_t == Σ_o (Q_outᵀk_oQ_in) ⊗ (E_outᵀT_oE_in)
+    S_hat = np.stack([(E_out.T @ (t @ E_in)).astype(np.float32) for t in taps])
+    K_hat = np.einsum("dc,tce,ef->tdf", Q_out.T, k_taps, Q_in)
+    S_mix = np.einsum("to,oqp->tqp", G, S_hat).astype(np.float32)
+    K_mix = np.einsum("to,odc->tdc", Hmix, K_hat).astype(np.float32)
+    m_bias = np.kron(Q_out.T @ bias, E_out.T @ np.ones(p2, dtype=np.float32))
+
+    F1 = KroneckerOp(jnp.asarray(Q_out), jnp.asarray(D_out @ E_out),
+                     jnp.asarray(np.tile(b_out, C2)))
+    M = TapSumOp(jnp.asarray(K_mix), jnp.asarray(S_mix),
+                 jnp.asarray(m_bias.astype(np.float32)))
+    F2 = KroneckerOp(jnp.asarray(Q_in.T), jnp.asarray(E_in.T @ D_in),
+                     jnp.asarray(np.kron(Q_in.T @ np.ones(C1, dtype=np.float32),
+                                         E_in.T @ b_in).astype(np.float32)))
+    op = ChainedOp([F2, M, F1])
+
+    if selfcheck:
+        from ..util import conv2d_oracle
+        n_in = C1 * p1 + 1
+        x = rng.standard_normal((2, n_in)).astype(np.float32)
+        x[:, -1] = 1.0
+        got = np.asarray(op.apply(jnp.asarray(x)))
+        Ai = scipy.sparse.csr_matrix(Ainv, dtype=np.float32) if Ainv is not None \
+            else scipy.sparse.identity(n_in, format="csr", dtype=np.float32)
+        z = np.asarray((Ai @ x.T).T)
+        y = conv2d_oracle(z[:, :-1].reshape(-1, C1, H1, W1), weight, bias,
+                          stride=stride)
+        yh = np.concatenate([y.reshape(2, -1), z[:, -1:]], axis=1)
+        if A is not None:
+            yh = np.asarray((scipy.sparse.csr_matrix(A, dtype=np.float32)
+                             @ yh.T).T)
+        err = np.abs(got - yh).max()
+        scale = max(1.0, np.abs(yh).max())
+        if err > 1e-3 * scale:
+            vprint("[kron_factored_keyed_conv]: selfcheck FAILED "
+                   "(err %.3g, scale %.3g) — falling back" % (err, scale))
+            return None
+        vprint("[kron_factored_keyed_conv]: selfcheck ok (err %.3g)" % err)
+
+    op.kron_stats = {"taps": T, "p_in": p1, "p_out": p2}
+    return op

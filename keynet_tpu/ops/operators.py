@@ -653,6 +653,131 @@ class RepeatedBlockDiagOp(LinearOp):
 
 
 @jax.tree_util.register_pytree_node_class
+class KroneckerOp(LinearOp):
+    """Homogeneous Kronecker operator  [[C ⊗ S, b], [0, 1]]:
+
+      y[:, :n_out] = (C ⊗ S) · x[:, :n_in]  +  b · x[:, n_in]
+      y[:, n_out]  = x[:, n_in]
+
+    with the core viewed channel-major: x[:, :n_in] reshaped to (B, C1, p1),
+    C: (C2, C1) the channel factor, S: (p2, p1) the spatial factor.  Apply is
+    two dense MXU matmuls — O(C·p·(C+p)) FLOPs and C² + p² + n storage
+    instead of the (C·p)² matrix.
+
+    This is the compact device form of a keyed-conv chain factor whose key
+    has identical per-channel spatial blocks (A = I_C ⊗ D̃, the structure
+    keygen's local keys produce; see ops/kronfactor.py): the published factor
+    is A·(Q ⊗ E) = Q ⊗ (D̃·E) with secret orthogonal masks Q, E.
+    """
+
+    def __init__(self, Cm, Sm, bias, nnz=None):
+        self.Cm = Cm        # (C2, C1) jnp f32
+        self.Sm = Sm        # (p2, p1) jnp f32
+        self.bias = bias    # (n_out,) jnp f32
+        n_out = Cm.shape[0] * Sm.shape[0]
+        n_in = Cm.shape[1] * Sm.shape[1]
+        self.shape = (n_out + 1, n_in + 1)
+        self._nnz = int(nnz) if nnz is not None else \
+            int(np.count_nonzero(np.asarray(Cm))) * int(np.count_nonzero(np.asarray(Sm))) \
+            + int(np.count_nonzero(np.asarray(bias)))
+
+    def apply(self, x):
+        B = x.shape[0]
+        C2, C1 = self.Cm.shape
+        p2, p1 = self.Sm.shape
+        n_in = C1 * p1
+        xc = x[:, :n_in].reshape(B, C1, p1)
+        xh = x[:, n_in:]
+        t = jnp.einsum("bcp,qp->bcq", xc, self.Sm,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = jnp.einsum("bcq,dc->bdq", t, self.Cm,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = y.reshape(B, C2 * p2) + xh * self.bias[None, :]
+        return jnp.concatenate([y, xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.Cm.size + self.Sm.size + self.bias.size) * 4
+
+    def arrays(self):
+        return {"Cm": self.Cm, "Sm": self.Sm, "bias": self.bias}
+
+    def tree_flatten(self):
+        return (self.Cm, self.Sm, self.bias), (self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.Cm, op.Sm, op.bias = children
+        op.shape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class TapSumOp(LinearOp):
+    """Homogeneous sum-of-Kronecker operator  [[Σ_t K_t ⊗ S_t, b], [0, 1]]
+    with K: (T, C2, C1) channel factors and S: (T, p2, p1) spatial factors.
+
+    A conv's Toeplitz matrix is exactly Σ_o k_o ⊗ T_o over its taps (k_o the
+    C2×C1 channel matrix of tap o, T_o the 0/1 pixel shift-with-edge-clipping
+    matrix — the structure the reference's Conv2dTiledMatrix re-discovers
+    per-tile, keynet/sparse.py:690-777).  Conjugating by per-channel-identical
+    keys and secret Kronecker masks preserves this form, so a keyed VGG
+    conv4/conv5 layer stores T·(C² + p²) floats (~tens of MB) instead of
+    gigabytes of materialized tiles, and applies as 2·T dense MXU matmuls.
+    """
+
+    def __init__(self, K, S, bias, nnz=None):
+        self.K = K          # (T, C2, C1) jnp f32
+        self.S = S          # (T, p2, p1) jnp f32
+        self.bias = bias    # (n_out,) jnp f32
+        n_out = K.shape[1] * S.shape[1]
+        n_in = K.shape[2] * S.shape[2]
+        self.shape = (n_out + 1, n_in + 1)
+        self._nnz = int(nnz) if nnz is not None else \
+            int(np.count_nonzero(np.asarray(K))) + int(np.count_nonzero(np.asarray(S))) \
+            + int(np.count_nonzero(np.asarray(bias)))
+
+    def apply(self, x):
+        B = x.shape[0]
+        T, C2, C1 = self.K.shape
+        p2, p1 = self.S.shape[1], self.S.shape[2]
+        n_in = C1 * p1
+        xc = x[:, :n_in].reshape(B, C1, p1)
+        xh = x[:, n_in:]
+        t = jnp.einsum("bcp,tqp->btcq", xc, self.S,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = jnp.einsum("btcq,tdc->bdq", t, self.K,
+                       preferred_element_type=jnp.float32, precision=precision())
+        y = y.reshape(B, C2 * p2) + xh * self.bias[None, :]
+        return jnp.concatenate([y, xh], axis=1)
+
+    def nnz(self):
+        """Stored-entry count of the published factor arrays (the composite
+        Σ K_t⊗S_t is never materialized; its entry count has no reference
+        analog at this scale — the reference cannot build these layers)."""
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.K.size + self.S.size + self.bias.size) * 4
+
+    def arrays(self):
+        return {"K": self.K, "S": self.S, "bias": self.bias}
+
+    def tree_flatten(self):
+        return (self.K, self.S, self.bias), (self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.K, op.S, op.bias = children
+        op.shape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
 class ChainedOp(LinearOp):
     """Composition operator: apply(x) = ops[-1](…ops[0](x)).
 

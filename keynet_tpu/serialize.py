@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .layer import KeyedLayer
 from .ops.operators import (DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp,
-                            ChainedOp, RepeatedBlockDiagOp)
+                            ChainedOp, RepeatedBlockDiagOp, KroneckerOp, TapSumOp)
 
 
 def _op_state(op):
@@ -44,6 +44,14 @@ def _op_state(op):
             {"shape": op.shape, "nnz": op.nnz()}
     if isinstance(op, RepeatedBlockDiagOp):
         return "repblockdiag", {"F": np.asarray(op.F), "bias": np.asarray(op.bias)}, \
+            {"shape": op.shape, "nnz": op.nnz()}
+    if isinstance(op, KroneckerOp):
+        return "kron", {"Cm": np.asarray(op.Cm), "Sm": np.asarray(op.Sm),
+                        "bias": np.asarray(op.bias)}, \
+            {"shape": op.shape, "nnz": op.nnz()}
+    if isinstance(op, TapSumOp):
+        return "tapsum", {"K": np.asarray(op.K), "S": np.asarray(op.S),
+                          "bias": np.asarray(op.bias)}, \
             {"shape": op.shape, "nnz": op.nnz()}
     if isinstance(op, ChainedOp):
         arrs, parts = {}, []
@@ -79,6 +87,12 @@ def _op_restore(kind, arrs, meta):
     if kind == "repblockdiag":
         return RepeatedBlockDiagOp(jnp.asarray(arrs["F"]), jnp.asarray(arrs["bias"]),
                                    int(meta["shape"][0]) - 1, nnz=meta["nnz"])
+    if kind == "kron":
+        return KroneckerOp(jnp.asarray(arrs["Cm"]), jnp.asarray(arrs["Sm"]),
+                           jnp.asarray(arrs["bias"]), nnz=meta["nnz"])
+    if kind == "tapsum":
+        return TapSumOp(jnp.asarray(arrs["K"]), jnp.asarray(arrs["S"]),
+                        jnp.asarray(arrs["bias"]), nnz=meta["nnz"])
     if kind == "chain":
         ops = []
         for i, part in enumerate(meta["parts"]):

@@ -79,6 +79,8 @@ def test_chain_and_repblockdiag_roundtrip(tmp_path):
     from keynet_tpu.models.specs import Model, Conv2d, ReLU, Linear
     old = GLOBAL["STREAM_NNZ"]
     GLOBAL["STREAM_NNZ"] = 100_000  # force the streaming/masked path at 28x28
+    old_kron = GLOBAL["KRON_FACTORED"]
+    GLOBAL["KRON_FACTORED"] = "never"  # cover the STREAMED chain kinds
     try:
         net = Model([Conv2d("conv1", 4, 4, 3), ReLU("relu1"),
                      Linear("fc1", 4 * 28 * 28, 10)],
@@ -110,3 +112,4 @@ def test_chain_and_repblockdiag_roundtrip(tmp_path):
         assert np.array_equal(y0, y1)  # same arrays, same program: bitwise
     finally:
         GLOBAL["STREAM_NNZ"] = old
+        GLOBAL["KRON_FACTORED"] = old_kron
