@@ -262,6 +262,45 @@ class BlockSparseOp(LinearOp):
         vmem = it * (NBUF * Bp * TN + NBUF * TM * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
+    def row_shard_plan(self, tp):
+        """Host-side tile-row partition for tensor-parallel serving: split the
+        row-blocks into ``tp`` contiguous shards, each with a COMPACTED tile
+        store holding only the unique tiles its rows reference (plus remapped
+        local ids).  Returns stacked numpy arrays ready for a shard_map apply
+        (parallel/sharding.py::TpShardedBlockEllOp):
+
+          tiles:    (tp, u_max, TM, TN)   per-shard unique tiles, zero-padded
+          tile_ids: (tp, rb_per, KB)      LOCAL ids into that shard's tiles
+          col_blk:  (tp, rb_per, KB)
+          rb_per:   row-blocks per shard (row padding uses the zero tile)
+
+        Per-chip tile memory drops toward unique/tp when tile reuse is
+        row-local (scattered keys); globally-periodic matrices share tiles
+        across all shards and see no reduction — callers should check
+        the returned footprint before committing (SURVEY.md §2.5 TP row).
+        """
+        ids = np.asarray(self.tile_ids)
+        cols = np.asarray(self.col_blk)
+        tiles = np.asarray(self.tiles)
+        n_rb, KB = ids.shape
+        rb_per = _cdiv(n_rb, tp)
+        pad = rb_per * tp - n_rb
+        if pad:
+            ids = np.vstack([ids, np.zeros((pad, KB), ids.dtype)])
+            cols = np.vstack([cols, np.zeros((pad, KB), cols.dtype)])
+        ids3 = ids.reshape(tp, rb_per, KB)
+        uniqs = [np.unique(ids3[j]) for j in range(tp)]
+        u_max = max(len(u) for u in uniqs)
+        tiles_st = np.zeros((tp, u_max) + tiles.shape[1:], dtype=tiles.dtype)
+        ids_st = np.zeros_like(ids3)
+        for j, u in enumerate(uniqs):
+            tiles_st[j, :len(u)] = tiles[u]
+            remap = np.zeros(int(u.max()) + 1, dtype=ids.dtype)
+            remap[u] = np.arange(len(u), dtype=ids.dtype)
+            ids_st[j] = remap[ids3[j]]
+        return dict(tiles=tiles_st, tile_ids=ids_st,
+                    col_blk=cols.reshape(tp, rb_per, KB), rb_per=int(rb_per))
+
     def nnz(self):
         return self._nnz
 

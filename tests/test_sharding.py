@@ -61,3 +61,83 @@ def test_dp_tp_keyed_forward(keyed_lenet):
     f = keyed_forward_dp_tp(knet, mesh, min_tp_bytes=1 << 20)
     y = np.asarray(f(xc))
     assert np.allclose(y_single, y, atol=1e-5)
+
+
+def test_tp_sharded_block_ell():
+    """Tile-row tp sharding of a Block-ELL op (VERDICT round-2 #9): the
+    sharded apply must equal the single-device apply, and per-chip tile
+    memory must drop when tile reuse is row-local."""
+    import scipy.sparse
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from keynet_tpu.ops.operators import BlockSparseOp
+    from keynet_tpu.parallel.sharding import tp_shard_block_op
+
+    rng = np.random.default_rng(0)
+    # row-local tiles: block-diagonal-ish random matrix, no cross-row reuse
+    n = 1024
+    blocks = [rng.standard_normal((128, 128)).astype(np.float32)
+              for _ in range(n // 128)]
+    A = scipy.sparse.block_diag(blocks, format="csr")
+    op = BlockSparseOp.from_scipy(A, tileshape=(128, 128))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "tp"))
+    tpop = tp_shard_block_op(op, mesh, "tp")
+    assert tpop is not None
+    # per-chip tiles ~ unique/4 (+1 zero tile slack)
+    full = int(np.asarray(op.tiles).size) * 4
+    assert tpop.per_chip_tile_bytes() <= full // 3
+
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    y0 = np.asarray(op.apply(jnp.asarray(x)))
+    y1 = np.asarray(tpop.apply(jnp.asarray(x)))
+    assert np.allclose(y0, y1, atol=1e-5)
+
+
+def test_tp_shard_declines_globally_periodic():
+    """A matrix whose tiles repeat across all row-blocks gains nothing from
+    tile-row sharding: the planner must decline (keep replicated)."""
+    import scipy.sparse
+    from jax.sharding import Mesh
+    from keynet_tpu.ops.operators import BlockSparseOp
+    from keynet_tpu.parallel.sharding import tp_shard_block_op
+    rng = np.random.default_rng(1)
+    b1 = rng.standard_normal((128, 128)).astype(np.float32)
+    b2 = rng.standard_normal((128, 128)).astype(np.float32)
+    A = scipy.sparse.block_diag([b1, b2] * 4, format="csr")  # 2 unique tiles,
+    # both referenced by every shard
+    op = BlockSparseOp.from_scipy(A, tileshape=(128, 128))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "tp"))
+    assert tp_shard_block_op(op, mesh, "tp") is None
+
+
+def test_shard_keynet_ops_uses_tp_block(keyed_lenet):
+    """shard_keynet_ops routes big row-local Block-ELL layers to tile-row tp
+    sharding and the dp x tp forward still matches single-device."""
+    import scipy.sparse
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from collections import OrderedDict
+    from keynet_tpu.ops.operators import BlockSparseOp
+    from keynet_tpu.layer import KeyedLayer
+    from keynet_tpu.system import KeyedModel
+    from keynet_tpu.parallel import keyed_forward_dp_tp
+    from keynet_tpu.parallel.sharding import TpShardedBlockEllOp
+
+    rng = np.random.default_rng(2)
+    n = 1024
+    blocks = [rng.standard_normal((128, 128)).astype(np.float32) * 0.1
+              for _ in range(n // 128)]
+    A = scipy.sparse.block_diag(blocks, format="csr")
+    kl = KeyedLayer(W=A, format="block")
+    knet = KeyedModel.from_layers(OrderedDict([("m", kl)]), (n, 1, 1))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "tp"))
+    knet._build()
+    x = rng.standard_normal((8, n)).astype(np.float32)
+    y0 = np.asarray(knet._forward(knet._ops, jnp.asarray(x)))
+    from keynet_tpu.parallel.sharding import shard_keynet_ops
+    ops = shard_keynet_ops(knet, mesh, min_tp_bytes=1 << 16)
+    assert any(isinstance(getattr(o, "inner", o), TpShardedBlockEllOp)
+               or isinstance(o, TpShardedBlockEllOp) for o in ops)
+    y1 = np.asarray(knet._forward(ops, jnp.asarray(x)))
+    assert np.allclose(y0, y1, atol=1e-5)
