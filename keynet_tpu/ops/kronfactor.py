@@ -145,9 +145,11 @@ def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
 
     # published middle factors: Σ_t K̃_t ⊗ S̃_t == Σ_o (Q_outᵀk_oQ_in) ⊗ (E_outᵀT_oE_in)
     S_hat = np.stack([(E_out.T @ (t @ E_in)).astype(np.float32) for t in taps])
-    K_hat = np.einsum("dc,tce,ef->tdf", Q_out.T, k_taps, Q_in)
-    S_mix = np.einsum("to,oqp->tqp", G, S_hat).astype(np.float32)
-    K_mix = np.einsum("to,odc->tdc", Hmix, K_hat).astype(np.float32)
+    # batched matmuls, NOT one naive einsum: "dc,tce,ef->tdf" unoptimized is
+    # O(T·C2²·C1²) — 1.5e11 ops at conv4 (measured ~200 s); this is ~2 GFLOP
+    K_hat = np.matmul(Q_out.T[None], np.matmul(k_taps, Q_in))
+    S_mix = np.tensordot(G, S_hat, axes=(1, 0)).astype(np.float32)
+    K_mix = np.tensordot(Hmix, K_hat, axes=(1, 0)).astype(np.float32)
     m_bias = np.kron(Q_out.T @ bias, E_out.T @ np.ones(p2, dtype=np.float32))
 
     F1 = KroneckerOp(jnp.asarray(Q_out), jnp.asarray(D_out @ E_out),

@@ -717,7 +717,8 @@ class KroneckerOp(LinearOp):
         n_in = Cm.shape[1] * Sm.shape[1]
         self.shape = (n_out + 1, n_in + 1)
         self._nnz = int(nnz) if nnz is not None else \
-            int(np.count_nonzero(np.asarray(Cm))) * int(np.count_nonzero(np.asarray(Sm))) \
+            int(np.count_nonzero(np.asarray(Cm))) \
+            + int(np.count_nonzero(np.asarray(Sm))) \
             + int(np.count_nonzero(np.asarray(bias)))
 
     def apply(self, x):
@@ -735,6 +736,9 @@ class KroneckerOp(LinearOp):
         return jnp.concatenate([y, xh], axis=1)
 
     def nnz(self):
+        """Stored-entry count of the published factors (the composite C ⊗ S
+        is dense as a matrix; counting it would report ~1e11 'parameters'
+        for what is physically a few MB of factor storage)."""
         return self._nnz
 
     def device_bytes(self):
