@@ -105,6 +105,33 @@ def main():
     err = np.abs(y_tpu_full[:bc] - out.T).max()
     log("TPU-vs-scipy max err: %g" % err)
 
+    # ---------------- on-chip Pallas kernel numeric gate --------------------
+    # (VERDICT round-2 #8: the kernel's only direct correctness test ran in
+    # interpret mode on CPU; this asserts kernel == einsum on the real chip.)
+    if jax.default_backend() == "tpu":
+        import scipy.sparse as _sp
+        from keynet_tpu.ops.operators import BlockSparseOp
+        from keynet_tpu.ops.pallas_kernels import block_ell_matmul
+        prng = np.random.default_rng(7)
+        blocks = [_sp.random(128, 128, density=0.6, random_state=i,
+                             data_rvs=prng.standard_normal) for i in range(12)]
+        A = _sp.block_diag(blocks, format="csr") + _sp.eye(12 * 128, format="csr")
+        bop = BlockSparseOp.from_scipy(A.tocsr(), tileshape=(128, 128))
+        xk = jnp.asarray(prng.normal(size=(64, A.shape[1])).astype(np.float32))
+        n_rb = bop.tile_ids.shape[0]
+        yk = np.asarray(block_ell_matmul(xk, bop.tiles, bop.tile_ids,
+                                         bop.col_blk, n_rb * 128))[:, :A.shape[0]]
+        xg = xk.reshape(64, -1, 128)[:, np.asarray(bop.col_blk)]
+        ye = np.asarray(jnp.einsum("brkn,rkmn->brm", xg,
+                                   bop.tiles[bop.tile_ids],
+                                   preferred_element_type=jnp.float32)
+                        .reshape(64, -1))[:, :A.shape[0]]
+        kerr = float(np.abs(yk - ye).max())
+        scale = float(np.abs(ye).max())
+        log("Pallas kernel vs einsum on-chip: max err %g (scale %g)" % (kerr, scale))
+        assert kerr <= 1e-4 * max(1.0, scale), \
+            "Pallas Block-ELL kernel disagrees with einsum on-chip"
+
     # diagnostic: relaxed-precision mode (bf16 MXU passes, ~1e-4 fidelity)
     import keynet_tpu.globals as G
     G.GLOBAL["PRECISION"] = "default"
