@@ -91,25 +91,34 @@ class KeyedLayer:
                 module.in_channels, module.out_channels, module.kernel_size, module.stride)
             pred_nnz = (module.out_channels * module.in_channels * module.kernel_size ** 2
                         * (inshape[1] // module.stride) * (inshape[2] // module.stride))
-            if pred_nnz > GLOBAL.get("STREAM_NNZ", 30_000_000):
-                # VGG-224 scale: never materialize Ŵ.  Keys with identical
-                # per-channel spatial blocks publish as a Kronecker-factored
-                # masked chain (tens of MB of dense factors + MXU matmuls,
+            n_out_h = int(np.prod(outshape)) + 1
+            n_in_h = int(np.prod(inshape)) + 1
+            streaming_scale = pred_nnz > GLOBAL.get("STREAM_NNZ", 30_000_000)
+            # a materialized scattered-key conv would land in ELL with
+            # K ≈ C_in·k² rows — e.g. global-permutation cifar convs hit
+            # K=865/1729 (measured 170 MB + VPU-bound apply); try the Kron
+            # factorization for those even below streaming scale
+            fat_ell = (module.in_channels * module.kernel_size ** 2 + 1
+                       > GLOBAL.get("ELL_MAX_K", 128)
+                       and n_out_h * n_in_h * 4 > GLOBAL["DENSE_MAX_BYTES"])
+            if streaming_scale or fat_ell:
+                # Never materialize Ŵ at these scales.  Keys with identical
+                # per-channel spatial blocks (up to global permutation
+                # factors) publish as a Kronecker-factored masked chain
+                # (tens of MB of dense factors + MXU matmuls,
                 # ops/kronfactor.py); everything else streams strips.
                 from .ops.streaming import masked_keyed_conv_streaming
                 from .ops.kronfactor import kron_factored_keyed_conv
                 import scipy.sparse as _sp
-                n_out = int(np.prod(outshape)) + 1
-                n_in = int(np.prod(inshape)) + 1
-                A_ = A if A is not None else _sp.identity(n_out, format="csr")
-                Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in, format="csr")
+                A_ = A if A is not None else _sp.identity(n_out_h, format="csr")
+                Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in_h, format="csr")
                 op = None
                 if GLOBAL.get("KRON_FACTORED", "auto") != "never":
                     op = kron_factored_keyed_conv(inshape, outshape,
                                                   params["weight"],
                                                   params["bias"], module.stride,
                                                   A_, Ainv_, rng=self._rng)
-                if op is None:
+                if op is None and streaming_scale:
                     op = masked_keyed_conv_streaming(inshape, outshape,
                                                      params["weight"],
                                                      params["bias"],
@@ -117,12 +126,14 @@ class KeyedLayer:
                                                      rng=self._rng,
                                                      tileshape=tileshape
                                                      or DEFAULT_TILE)
-                self._op = op
-                self._chain_f2()
-                self.W = None
-                self.shape = self._op.shape
-                self._nnz = self._op.nnz()
-                return
+                if op is not None:
+                    self._op = op
+                    self._chain_f2()
+                    self.W = None
+                    self.shape = self._op.shape
+                    self._nnz = self._op.nnz()
+                    return
+                assert not streaming_scale  # fat_ell probe declined: materialize
             W_hom = toeplitz_conv2d(inshape, params["weight"], bias=params["bias"],
                                     stride=module.stride)
             W_hom = _key_sandwich(W_hom, A, Ainv)

@@ -67,6 +67,59 @@ def identical_channel_blocks(A, npix, n_channels):
     return D, b
 
 
+def _zero_bias(M):
+    """Copy of a homogeneous CSR with the bias column zeroed (so the
+    bias-periodicity clause of _key_blocks_identical passes trivially —
+    biases are handled numerically by the Kron builder)."""
+    M = scipy.sparse.csr_matrix(M).tolil()
+    M[:M.shape[0] - 1, M.shape[1] - 1] = 0
+    return M.tocsr()
+
+
+def _kron_side(M, npix, C, side):
+    """Factor one key side into Kronecker-compatible parts.  Returns
+    (D (npix, npix) f32, b (n,) f32 raw bias column, gather int64 or None):
+
+      side='out' (the forward key A):
+          M = G_row · (I_C ⊗ D) + bias   →  y = take(kron_y, gather) + bias
+      side='in' (the inverse key A⁻¹):
+          M = (I_C ⊗ D) · G_col + bias   →  x' = take(x_core, gather)
+
+    Covers global permutation factors (flat or hierarchical spatial
+    permutations compose with per-channel-identical local keys into exactly
+    these forms) in addition to the plain I_C ⊗ D case; returns None when
+    the structure does not hold."""
+    from ..layer import is_identity_key
+    from .streaming import _key_blocks_identical, factor_left_identical, \
+        factor_right_perm
+    n = npix * C
+    if M is None or is_identity_key(M):
+        return (np.eye(npix, dtype=np.float32), np.zeros(n, dtype=np.float32),
+                None)
+    if M.shape[0] - 1 != n:
+        return None
+    M = scipy.sparse.csr_matrix(M)
+    b = np.asarray(M[:n, [n]].todense(), dtype=np.float32).ravel()
+    if _key_blocks_identical(_zero_bias(M), npix):
+        D = np.asarray(M[:npix, :npix].todense(), dtype=np.float32)
+        return D, b, None
+    if side == "out":
+        f = factor_left_identical(M, [npix])
+        if f is None:
+            return None
+        p, g, D0, _ = f
+        return np.asarray(D0, dtype=np.float32), b, g.astype(np.int64)
+    f = factor_right_perm(M, [npix])
+    if f is None:
+        return None
+    p, g, B = f
+    if not _key_blocks_identical(_zero_bias(B), npix):
+        return None
+    D = np.asarray(scipy.sparse.csr_matrix(B)[:npix, :npix].todense(),
+                   dtype=np.float32)
+    return D, b, np.argsort(g).astype(np.int64)   # xp[k] = x[g⁻¹(k)]
+
+
 def random_orthogonal(m, rng):
     """Haar-ish random dense orthogonal via QR with sign fix."""
     Q, R = np.linalg.qr(rng.standard_normal((m, m)))
@@ -107,23 +160,14 @@ def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
         return None
     rng = rng if rng is not None else np.random.default_rng()
 
-    from ..layer import is_identity_key
-    if A is None or is_identity_key(A):
-        D_out = np.eye(p2, dtype=np.float32)
-        b_out = np.zeros(p2, dtype=np.float32)
-    else:
-        f = identical_channel_blocks(scipy.sparse.csr_matrix(A), p2, C2)
-        if f is None:
-            return None
-        D_out, b_out = f
-    if Ainv is None or is_identity_key(Ainv):
-        D_in = np.eye(p1, dtype=np.float32)
-        b_in = np.zeros(p1, dtype=np.float32)
-    else:
-        f = identical_channel_blocks(scipy.sparse.csr_matrix(Ainv), p1, C1)
-        if f is None:
-            return None
-        D_in, b_in = f
+    fo = _kron_side(A, p2, C2, "out")
+    if fo is None:
+        return None
+    D_out, b_out_full, g_out = fo
+    fi = _kron_side(Ainv, p1, C1, "in")
+    if fi is None:
+        return None
+    D_in, b_in_raw, g_in = fi
 
     weight = np.asarray(weight, dtype=np.float32)
     bias = np.asarray(bias, dtype=np.float32).reshape(-1) if bias is not None \
@@ -152,13 +196,21 @@ def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
     K_mix = np.tensordot(Hmix, K_hat, axes=(1, 0)).astype(np.float32)
     m_bias = np.kron(Q_out.T @ bias, E_out.T @ np.ones(p2, dtype=np.float32))
 
+    # F1 = A·R = G_row·(I⊗D_out)·(Q⊗E) = G_row·(Q ⊗ D_out·E); A's raw bias
+    # column is added in final output coordinates (after the row gather)
     F1 = KroneckerOp(jnp.asarray(Q_out), jnp.asarray(D_out @ E_out),
-                     jnp.asarray(np.tile(b_out, C2)))
+                     jnp.asarray(b_out_full),
+                     perm_out=None if g_out is None
+                     else jnp.asarray(g_out, dtype=jnp.int32))
     M = TapSumOp(jnp.asarray(K_mix), jnp.asarray(S_mix),
                  jnp.asarray(m_bias.astype(np.float32)))
+    # F2 = R⁻¹·A⁻¹ = (Qᵀ ⊗ EᵀD_in)·G_col, with bias (Qᵀ⊗Eᵀ)·b applied
+    # numerically: ((Q⊗E)ᵀ b) viewed as (C1, p1) is Qᵀ·B·E
+    b_f2 = (Q_in.T @ b_in_raw.reshape(C1, p1) @ E_in).ravel().astype(np.float32)
     F2 = KroneckerOp(jnp.asarray(Q_in.T), jnp.asarray(E_in.T @ D_in),
-                     jnp.asarray(np.kron(Q_in.T @ np.ones(C1, dtype=np.float32),
-                                         E_in.T @ b_in).astype(np.float32)))
+                     jnp.asarray(b_f2),
+                     perm_in=None if g_in is None
+                     else jnp.asarray(g_in, dtype=jnp.int32))
     op = ChainedOp([F2, M, F1])
 
     if selfcheck:

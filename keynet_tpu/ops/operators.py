@@ -709,10 +709,16 @@ class KroneckerOp(LinearOp):
     is A·(Q ⊗ E) = Q ⊗ (D̃·E) with secret orthogonal masks Q, E.
     """
 
-    def __init__(self, Cm, Sm, bias, nnz=None):
+    def __init__(self, Cm, Sm, bias, nnz=None, perm_in=None, perm_out=None):
         self.Cm = Cm        # (C2, C1) jnp f32
         self.Sm = Sm        # (p2, p1) jnp f32
-        self.bias = bias    # (n_out,) jnp f32
+        self.bias = bias    # (n_out,) jnp f32, added in FINAL output coords
+        # optional core permutations (int32 gather vectors), for keys that
+        # factor as G·(I⊗D) / (I⊗D)·G (e.g. global permutation factors):
+        #   perm_in:  x_core gathered BEFORE the Kron product
+        #   perm_out: y_core gathered AFTER the Kron product
+        self.perm_in = perm_in
+        self.perm_out = perm_out
         n_out = Cm.shape[0] * Sm.shape[0]
         n_in = Cm.shape[1] * Sm.shape[1]
         self.shape = (n_out + 1, n_in + 1)
@@ -726,13 +732,19 @@ class KroneckerOp(LinearOp):
         C2, C1 = self.Cm.shape
         p2, p1 = self.Sm.shape
         n_in = C1 * p1
-        xc = x[:, :n_in].reshape(B, C1, p1)
+        xc = x[:, :n_in]
         xh = x[:, n_in:]
+        if self.perm_in is not None:
+            xc = jnp.take(xc, self.perm_in, axis=1)
+        xc = xc.reshape(B, C1, p1)
         t = jnp.einsum("bcp,qp->bcq", xc, self.Sm,
                        preferred_element_type=jnp.float32, precision=precision())
         y = jnp.einsum("bcq,dc->bdq", t, self.Cm,
                        preferred_element_type=jnp.float32, precision=precision())
-        y = y.reshape(B, C2 * p2) + xh * self.bias[None, :]
+        y = y.reshape(B, C2 * p2)
+        if self.perm_out is not None:
+            y = jnp.take(y, self.perm_out, axis=1)
+        y = y + xh * self.bias[None, :]
         return jnp.concatenate([y, xh], axis=1)
 
     def nnz(self):
@@ -745,15 +757,21 @@ class KroneckerOp(LinearOp):
         return int(self.Cm.size + self.Sm.size + self.bias.size) * 4
 
     def arrays(self):
-        return {"Cm": self.Cm, "Sm": self.Sm, "bias": self.bias}
+        d = {"Cm": self.Cm, "Sm": self.Sm, "bias": self.bias}
+        if self.perm_in is not None:
+            d["perm_in"] = self.perm_in
+        if self.perm_out is not None:
+            d["perm_out"] = self.perm_out
+        return d
 
     def tree_flatten(self):
-        return (self.Cm, self.Sm, self.bias), (self.shape, self._nnz)
+        return (self.Cm, self.Sm, self.bias, self.perm_in, self.perm_out), \
+            (self.shape, self._nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
-        op.Cm, op.Sm, op.bias = children
+        op.Cm, op.Sm, op.bias, op.perm_in, op.perm_out = children
         op.shape, op._nnz = aux
         return op
 

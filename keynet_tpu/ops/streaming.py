@@ -70,7 +70,12 @@ def factor_right_perm(A, ps):
         cnt = np.bincount(b, minlength=n // p)
         if not (cnt == p).all():
             continue
-        order = np.argsort(b, kind="stable")       # columns grouped by block
+        # canonical within-block assignment: sort columns by their top row
+        # (any bijection yields a block-diagonal B, but row-ordering makes B's
+        # blocks IDENTICAL whenever the underlying key repeats one block —
+        # e.g. a pure permutation factors to B = I⊗I_p — which the Kronecker
+        # builder (ops/kronfactor.py::_kron_side) requires)
+        order = np.lexsort((np.arange(n), minr, b))
         g = np.empty(n, dtype=np.int64)
         g[order] = np.arange(n)
         B = A[:, np.concatenate([order, [n]])].tocsr()
@@ -648,8 +653,13 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
         r1 = min(n_out, (rb0 + nrb) * TM)
         strip_rows = perm_out[r0:r1]
         if A_ident:
+            # B may be identity with a nontrivial fold (a pure permutation key
+            # factors to A = I·G under the canonical block ordering), so the
+            # strip rows must still map through the folded row permutation
+            rows = strip_rows if fold_out_rows is None \
+                else fold_out_rows[strip_rows]
             S = _relabel(toeplitz_conv2d_rows(inshape, weight, bias, stride,
-                                              strip_rows, cache=emission_cache,
+                                              rows, cache=emission_cache,
                                               pool=pool))
         elif domL is not None:
             cdom, vdom, L32 = domL

@@ -46,9 +46,13 @@ def _op_state(op):
         return "repblockdiag", {"F": np.asarray(op.F), "bias": np.asarray(op.bias)}, \
             {"shape": op.shape, "nnz": op.nnz()}
     if isinstance(op, KroneckerOp):
-        return "kron", {"Cm": np.asarray(op.Cm), "Sm": np.asarray(op.Sm),
-                        "bias": np.asarray(op.bias)}, \
-            {"shape": op.shape, "nnz": op.nnz()}
+        arrs = {"Cm": np.asarray(op.Cm), "Sm": np.asarray(op.Sm),
+                "bias": np.asarray(op.bias)}
+        if op.perm_in is not None:
+            arrs["perm_in"] = np.asarray(op.perm_in)
+        if op.perm_out is not None:
+            arrs["perm_out"] = np.asarray(op.perm_out)
+        return "kron", arrs, {"shape": op.shape, "nnz": op.nnz()}
     if isinstance(op, TapSumOp):
         return "tapsum", {"K": np.asarray(op.K), "S": np.asarray(op.S),
                           "bias": np.asarray(op.bias)}, \
@@ -89,7 +93,11 @@ def _op_restore(kind, arrs, meta):
                                    int(meta["shape"][0]) - 1, nnz=meta["nnz"])
     if kind == "kron":
         return KroneckerOp(jnp.asarray(arrs["Cm"]), jnp.asarray(arrs["Sm"]),
-                           jnp.asarray(arrs["bias"]), nnz=meta["nnz"])
+                           jnp.asarray(arrs["bias"]), nnz=meta["nnz"],
+                           perm_in=jnp.asarray(arrs["perm_in"])
+                           if "perm_in" in arrs else None,
+                           perm_out=jnp.asarray(arrs["perm_out"])
+                           if "perm_out" in arrs else None)
     if kind == "tapsum":
         return TapSumOp(jnp.asarray(arrs["K"]), jnp.asarray(arrs["S"]),
                         jnp.asarray(arrs["bias"]), nnz=meta["nnz"])
