@@ -192,7 +192,18 @@ class BlockSparseOp(LinearOp):
             parts = []
             if s:
                 parts.append(self._apply_rows(x, xb, 0, s))
-            parts.append(self._apply_periodic_mid(xb))
+            if self._periodic_matvec_ok(B, n_cb * TN):
+                # tile-resident Pallas kernel: x lives in VMEM, each period
+                # tile is DMA'd exactly once per forward — the B=1 serving
+                # roofline (tile bytes / HBM bandwidth)
+                from .pallas_kernels import periodic_block_ell_matvec
+                sub = 8 if self.tiles.dtype == jnp.float32 else 16
+                pad_b = (-B) % sub
+                xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
+                parts.append(periodic_block_ell_matvec(
+                    xp, self.tiles, self.tile_ids, self.col_blk, s, P, R)[:B])
+            else:
+                parts.append(self._apply_periodic_mid(xb))
             if s + P * R < n_rb:
                 parts.append(self._apply_rows(x, xb, s + P * R, n_rb))
             y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
@@ -242,6 +253,26 @@ class BlockSparseOp(LinearOp):
                            precision=self._precision())
             parts.append(y.reshape(B, -1))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    def _periodic_matvec_ok(self, B, n_cols):
+        """Gate for the tile-resident periodic kernel: TPU (or forced), MXU
+        tiles, and the whole padded x + one period row's tiles + the output
+        block must fit the VMEM budget — the small-batch serving regime."""
+        mode = GLOBAL.get("USE_PALLAS", "auto")
+        if mode == "never" or self.period is None:
+            return False
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        TM, TN = self.tileshape
+        if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
+            return False
+        it = self.tiles.dtype.itemsize
+        Bp = B + ((-B) % (8 if it == 4 else 16))
+        KB = self.tile_ids.shape[1]
+        vmem = it * Bp * n_cols + it * KB * TM * TN + 4 * Bp * TM
+        return vmem <= 12 * (1 << 20)
 
     def _pallas_ok(self, B, TM, TN):
         mode = GLOBAL.get("USE_PALLAS", "auto")

@@ -128,3 +128,79 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
         interpret=interpret,
     )(tile_ids, col_blk, x_padded.astype(dt), tiles)
     return y[:, :n_out_padded]
+
+
+def _periodic_kernel(col_ref,                # SMEM (1, KB): col blocks of row (s+rho+j*P)
+                     ids_ref,                # SMEM (1, KB): tile ids of period row rho
+                     x_vmem,                 # VMEM (B, n_cb*TN) resident input
+                     tiles_hbm,              # HBM (n_uniq, TM, TN)
+                     out_ref,                # VMEM (B, TM) output block
+                     t_buf, sems, precision):
+    """Tile-resident periodic Block-ELL matvec: grid (P, R), j innermost.
+    Period row rho's KB tiles are DMA'd once at j==0 and stay in VMEM for all
+    R repetitions; x is fully VMEM-resident, so HBM traffic is exactly ONE
+    read of the period's tile set (plus the small output) — the B=1 serving
+    roofline (docs/SERVING.md).  Zero-tile slots (id 0) are skipped."""
+    KB = ids_ref.shape[1]
+    TM = t_buf.shape[1]
+    TN = t_buf.shape[2]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        for k in range(KB):  # static unroll: load this period row's tiles
+            tid = ids_ref[0, k]
+            pltpu.make_async_copy(tiles_hbm.at[tid], t_buf.at[k],
+                                  sems.at[k]).start()
+        for k in range(KB):
+            pltpu.make_async_copy(tiles_hbm.at[ids_ref[0, k]], t_buf.at[k],
+                                  sems.at[k]).wait()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for k in range(KB):  # static unroll over slots
+        tid = ids_ref[0, k]
+
+        @pl.when(tid > 0)
+        def _(k=k):
+            cb = col_ref[0, k]
+            xb = x_vmem[:, pl.ds(cb * TN, TN)]
+            out_ref[...] += jax.lax.dot_general(
+                xb, t_buf[k], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "P", "R", "interpret"))
+def periodic_block_ell_matvec(x_padded, tiles, tile_ids, col_blk, s, P, R,
+                              interpret=False):
+    """Periodic mid-section apply for small batches: rows [s, s+P*R) of a
+    row-block-periodic Block-ELL operator (tile_ids[s+rho+j*P] ==
+    tile_ids[s+rho]).  Requires x (B, n_cb*TN) to fit VMEM (caller gates).
+    Returns (B, P*R*TM) f32 for the mid-section only."""
+    B = x_padded.shape[0]
+    KB = tile_ids.shape[1]
+    TM, TN = tiles.shape[1], tiles.shape[2]
+    from ..globals import precision as _prec
+    dt = tiles.dtype
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_periodic_kernel, precision=prec)
+    y = pl.pallas_call(
+        kernel,
+        grid=(P, R),
+        in_specs=[
+            pl.BlockSpec((1, KB), lambda rho, j: (rho + j * P + s, 0),
+                         memory_space=pltpu.SMEM),          # col_blk row
+            pl.BlockSpec((1, KB), lambda rho, j: (rho + s, 0),
+                         memory_space=pltpu.SMEM),          # period tile ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # x resident
+            pl.BlockSpec(memory_space=pltpu.ANY),           # tiles in HBM
+        ],
+        out_specs=pl.BlockSpec((B, TM), lambda rho, j: (0, j * P + rho),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P * R * TM), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((KB, TM, TN), dt),
+            pltpu.SemaphoreType.DMA((KB,)),
+        ],
+        interpret=interpret,
+    )(col_blk, tile_ids, x_padded.astype(dt), tiles)
+    return y

@@ -345,3 +345,73 @@ def test_packer_chunked_tiles_cross_boundary():
     y = np.asarray(op.apply(jnp.asarray(x)))
     exp = (A @ x.T).T
     np.testing.assert_allclose(y[:, :n], exp, atol=1e-4)
+
+
+def test_periodic_block_ell_matvec_interpret():
+    """Tile-resident periodic matvec kernel vs the einsum reference in
+    interpret mode (TPU-only for real; semantics pinned in the CPU suite)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import periodic_block_ell_matvec
+
+    rng = np.random.default_rng(3)
+    TM = TN = 128
+    P, R, KB, n_uniq, s = 3, 4, 2, 7, 2
+    n_rb = s + P * R + 1
+    n_cb = 6
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    for j in range(1, R):   # impose the periodicity contract on the mid rows
+        ids[s + j * P:s + (j + 1) * P] = ids[s:s + P]
+    cols = rng.integers(0, n_cb, size=(n_rb, KB)).astype(np.int32)
+    B = 8
+    x = rng.standard_normal((B, n_cb * TN)).astype(np.float32)
+
+    y = np.asarray(periodic_block_ell_matvec(
+        jnp.asarray(x), jnp.asarray(tiles), jnp.asarray(ids),
+        jnp.asarray(cols), s, P, R, interpret=True))
+    # reference: slot walk over the mid rows
+    ref = np.zeros((B, P * R * TM), dtype=np.float32)
+    for r in range(P * R):
+        for k in range(KB):
+            tid = ids[s + r, k]
+            if tid == 0:
+                continue
+            cb = cols[s + r, k]
+            ref[:, r * TM:(r + 1) * TM] += \
+                x[:, cb * TN:(cb + 1) * TN] @ tiles[tid].T
+    assert np.abs(y - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_periodic_apply_uses_kernel_when_forced():
+    """BlockSparseOp.apply routes the periodic mid-section through the
+    tile-resident kernel when USE_PALLAS='always' and stays numerically equal
+    to the einsum path."""
+    import numpy as np
+    import scipy.sparse
+    import jax.numpy as jnp
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import BlockSparseOp
+
+    rng = np.random.default_rng(4)
+    blk = rng.standard_normal((128, 128)).astype(np.float32)
+    A = scipy.sparse.block_diag([blk] * 12, format="csr")
+    op = BlockSparseOp.from_scipy(A, tileshape=(128, 128))
+    assert op.period is not None
+    x = rng.standard_normal((2, A.shape[1])).astype(np.float32)
+    y_einsum = np.asarray(op.apply(jnp.asarray(x)))
+    old = GLOBAL["USE_PALLAS"]
+    GLOBAL["USE_PALLAS"] = "always"
+    try:
+        import keynet_tpu.ops.pallas_kernels as pk
+        import functools as _ft
+        orig = pk.periodic_block_ell_matvec
+        pk.periodic_block_ell_matvec = _ft.partial(orig, interpret=True)
+        try:
+            y_kernel = np.asarray(op.apply(jnp.asarray(x)))
+        finally:
+            pk.periodic_block_ell_matvec = orig
+    finally:
+        GLOBAL["USE_PALLAS"] = old
+    assert np.abs(y_kernel - y_einsum).max() < 1e-4
