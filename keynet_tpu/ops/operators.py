@@ -192,16 +192,24 @@ class BlockSparseOp(LinearOp):
             parts = []
             if s:
                 parts.append(self._apply_rows(x, xb, 0, s))
-            if self._periodic_matvec_ok(B, n_cb * TN):
-                # tile-resident Pallas kernel: x lives in VMEM, each period
-                # tile is DMA'd exactly once per forward — the B=1 serving
-                # roofline (tile bytes / HBM bandwidth)
+            Bs = self._periodic_matvec_chunk(B, n_cb * TN)
+            if Bs:
+                # tile-resident Pallas kernel, batch-chunked: each chunk keeps
+                # its x slice fully VMEM-resident and DMAs every period tile
+                # exactly once — ceil(B/Bs) tile-set reads total, the serving
+                # roofline for small/medium batches (docs/SERVING.md)
                 from .pallas_kernels import periodic_block_ell_matvec
                 sub = 8 if self.tiles.dtype == jnp.float32 else 16
-                pad_b = (-B) % sub
-                xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-                parts.append(periodic_block_ell_matvec(
-                    xp, self.tiles, self.tile_ids, self.col_blk, s, P, R)[:B])
+                mids = []
+                for b0 in range(0, B, Bs):
+                    xc = x[b0:b0 + Bs]
+                    pad_b = (-xc.shape[0]) % sub
+                    xp = jnp.pad(xc, ((0, pad_b), (0, 0))) if pad_b else xc
+                    mids.append(periodic_block_ell_matvec(
+                        xp, self.tiles, self.tile_ids, self.col_blk,
+                        s, P, R)[:xc.shape[0]])
+                parts.append(mids[0] if len(mids) == 1
+                             else jnp.concatenate(mids, axis=0))
             else:
                 parts.append(self._apply_periodic_mid(xb))
             if s + P * R < n_rb:
@@ -254,25 +262,43 @@ class BlockSparseOp(LinearOp):
             parts.append(y.reshape(B, -1))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
-    def _periodic_matvec_ok(self, B, n_cols):
-        """Gate for the tile-resident periodic kernel: TPU (or forced), MXU
-        tiles, and the whole padded x + one period row's tiles + the output
-        block must fit the VMEM budget — the small-batch serving regime."""
+    def _periodic_matvec_chunk(self, B, n_cols):
+        """Batch chunk size for the tile-resident periodic kernel, or 0 to use
+        the einsum path.  Requires TPU (or USE_PALLAS='always'), MXU tiles,
+        and a chunk's x slice + one period row's tiles within the VMEM
+        budget; the kernel is chosen when its total tile re-reads
+        (ceil(B/Bs)·period tile bytes) undercut the einsum path's per-slot
+        x gather (P·R·KB·B·TN bytes)."""
         mode = GLOBAL.get("USE_PALLAS", "auto")
         if mode == "never" or self.period is None:
-            return False
+            return 0
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
         TM, TN = self.tileshape
         if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
-            return False
+            return 0
         it = self.tiles.dtype.itemsize
-        Bp = B + ((-B) % (8 if it == 4 else 16))
+        sub = 8 if it == 4 else 16
         KB = self.tile_ids.shape[1]
-        vmem = it * Bp * n_cols + it * KB * TM * TN + 4 * Bp * TM
-        return vmem <= 12 * (1 << 20)
+        budget = 12 * (1 << 20)
+        fixed = it * KB * TM * TN
+        per_b = it * n_cols + 4 * TM
+        if budget <= fixed + per_b:
+            return 0
+        Bs = min(B, (budget - fixed) // per_b)
+        if Bs >= sub:
+            Bs = (Bs // sub) * sub
+        nchunks = _cdiv(B, Bs)
+        if nchunks > int(GLOBAL.get("PERIODIC_KERNEL_MAX_CHUNKS", 32)):
+            return 0
+        if mode == "always":
+            return int(Bs)
+        s, P, R = self.period
+        kernel_bytes = nchunks * P * KB * TM * TN * it
+        einsum_bytes = P * R * KB * B * TN * it
+        return int(Bs) if kernel_bytes < einsum_bytes else 0
 
     def _pallas_ok(self, B, TM, TN):
         mode = GLOBAL.get("USE_PALLAS", "auto")
