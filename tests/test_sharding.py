@@ -141,3 +141,35 @@ def test_shard_keynet_ops_uses_tp_block(keyed_lenet):
                or isinstance(o, TpShardedBlockEllOp) for o in ops)
     y1 = np.asarray(knet._forward(ops, jnp.asarray(x)))
     assert np.allclose(y0, y1, atol=1e-5)
+
+
+def test_dp_sharded_kron_chain_forward():
+    """Kronecker/tap-sum chains replicate cleanly and serve a dp-sharded
+    cipher batch identically to single-device."""
+    import jax.numpy as jnp
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.models.specs import Model, Conv2d, ReLU, Linear
+    from keynet_tpu.parallel import batch_mesh, keyed_forward_sharded
+    old = GLOBAL["STREAM_NNZ"]
+    GLOBAL["STREAM_NNZ"] = 10_000
+    try:
+        net = Model([Conv2d("conv1", 4, 4, 3), ReLU("relu1"),
+                     Linear("fc1", 4 * 16 * 16, 10)], inshape=(4, 16, 16),
+                    seed=2)
+        sensor, knet = keynet.Keynet((4, 16, 16), net,
+                                     local_geometric="givens_orthogonal",
+                                     alpha=8, blocksize=16,
+                                     local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, seed=3)
+        from keynet_tpu.ops.operators import ChainedOp
+        assert any(isinstance(l.op(), ChainedOp)
+                   for l in knet.layers().values() if l != "relu")
+        x = np.random.default_rng(0).normal(size=(16, 4, 16, 16)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        knet._build()
+        y0 = np.asarray(knet._forward(knet._ops, jnp.asarray(xc)))
+        f = keyed_forward_sharded(knet, batch_mesh())
+        y1 = np.asarray(f(xc))
+        assert np.allclose(y0, y1, atol=1e-5)
+    finally:
+        GLOBAL["STREAM_NNZ"] = old
