@@ -71,9 +71,12 @@ def _zero_bias(M):
     """Copy of a homogeneous CSR with the bias column zeroed (so the
     bias-periodicity clause of _key_blocks_identical passes trivially —
     biases are handled numerically by the Kron builder)."""
-    M = scipy.sparse.csr_matrix(M).tolil()
-    M[:M.shape[0] - 1, M.shape[1] - 1] = 0
-    return M.tocsr()
+    M = scipy.sparse.csr_matrix(M, copy=True)
+    n = M.shape[0] - 1
+    rows = np.repeat(np.arange(M.shape[0]), np.diff(M.indptr))
+    M.data[(M.indices == M.shape[1] - 1) & (rows < n)] = 0.0
+    M.eliminate_zeros()
+    return M
 
 
 def _kron_side(M, npix, C, side):
