@@ -27,15 +27,6 @@ def _sandwich(shape, outshape, w, b, stride, A, Ainv, x):
     return np.asarray(M @ x)
 
 
-def _keycfg(whole_image=True):
-    if whole_image:
-        return dict(local_geometric="givens_orthogonal", alpha=8, blocksize=8,
-                    local_photometric="uniform_random_affine", beta=1.0,
-                    gamma=1.0)
-    return dict(local_geometric="givens_orthogonal", alpha=8, blocksize=8,
-                local_photometric="uniform_random_affine", beta=1.0, gamma=1.0)
-
-
 @pytest.mark.parametrize("shape,blocksize", [((4, 8, 8), 8),    # whole image
                                              ((4, 16, 16), 8)])  # 4 runs/chan
 def test_kron_factored_exact(shape, blocksize):
