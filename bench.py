@@ -122,9 +122,12 @@ def main():
         yk = np.asarray(block_ell_matmul(xk, bop.tiles, bop.tile_ids,
                                          bop.col_blk, n_rb * 128))[:, :A.shape[0]]
         xg = xk.reshape(64, -1, 128)[:, np.asarray(bop.col_blk)]
+        # HIGHEST so the reference accumulates f32 like the kernel does (the
+        # default bf16 MXU passes would make the REFERENCE the noisy side)
         ye = np.asarray(jnp.einsum("brkn,rkmn->brm", xg,
                                    bop.tiles[bop.tile_ids],
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
                         .reshape(64, -1))[:, :A.shape[0]]
         kerr = float(np.abs(yk - ye).max())
         scale = float(np.abs(ye).max())

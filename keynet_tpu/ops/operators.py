@@ -279,12 +279,13 @@ class BlockSparseOp(LinearOp):
         TM, TN = self.tileshape
         if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
             return 0
+        from .pallas_kernels import PGROUP
         it = self.tiles.dtype.itemsize
         sub = 8 if it == 4 else 16
         KB = self.tile_ids.shape[1]
         budget = 12 * (1 << 20)
-        fixed = it * KB * TM * TN
-        per_b = it * n_cols + 4 * TM
+        fixed = it * PGROUP * KB * TM * TN
+        per_b = it * n_cols + 4 * PGROUP * TM
         if budget <= fixed + per_b:
             return 0
         Bs = min(B, (budget - fixed) // per_b)
@@ -865,10 +866,17 @@ class TapSumOp(LinearOp):
         n_in = C1 * p1
         xc = x[:, :n_in].reshape(B, C1, p1)
         xh = x[:, n_in:]
-        t = jnp.einsum("bcp,tqp->btcq", xc, self.S,
-                       preferred_element_type=jnp.float32, precision=precision())
-        y = jnp.einsum("btcq,tdc->bdq", t, self.K,
-                       preferred_element_type=jnp.float32, precision=precision())
+        # per-tap accumulation: a single fused einsum materializes a
+        # (B, T, C1, p2) intermediate (~1 GB at cifar scale, B=1024); the
+        # unrolled loop keeps one (B, C1, p2) temporary that XLA reuses
+        prec = precision()
+        y = None
+        for t in range(T):
+            tmp = jnp.einsum("bcp,qp->bcq", xc, self.S[t],
+                             preferred_element_type=jnp.float32, precision=prec)
+            yt = jnp.einsum("bcq,dc->bdq", tmp, self.K[t],
+                            preferred_element_type=jnp.float32, precision=prec)
+            y = yt if y is None else y + yt
         y = y.reshape(B, C2 * p2) + xh * self.bias[None, :]
         return jnp.concatenate([y, xh], axis=1)
 

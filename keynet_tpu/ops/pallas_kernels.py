@@ -130,43 +130,49 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     return y[:, :n_out_padded]
 
 
-def _periodic_kernel(col_ref,                # SMEM (1, KB): col blocks of row (s+rho+j*P)
-                     ids_ref,                # SMEM (1, KB): tile ids of period row rho
-                     x_vmem,                 # VMEM (B, n_cb*TN) resident input
-                     tiles_hbm,              # HBM (n_uniq, TM, TN)
-                     out_ref,                # VMEM (B, TM) output block
+PGROUP = 8  # period rows per grid step (TPU SMEM blocks need 8-row alignment)
+
+
+def _periodic_kernel(col_ref,   # SMEM (1, PGROUP, KB): cols of rows rho0..+8 at rep j
+                     ids_ref,   # SMEM (PGROUP, KB): tile ids of period rows rho0..+8
+                     x_vmem,    # VMEM (B, n_cb*TN) resident input
+                     tiles_hbm,  # HBM (n_uniq, TM, TN)
+                     out_ref,   # VMEM (B, PGROUP*TM) output block
                      t_buf, sems, precision):
-    """Tile-resident periodic Block-ELL matvec: grid (P, R), j innermost.
-    Period row rho's KB tiles are DMA'd once at j==0 and stay in VMEM for all
-    R repetitions; x is fully VMEM-resident, so HBM traffic is exactly ONE
-    read of the period's tile set (plus the small output) — the B=1 serving
-    roofline (docs/SERVING.md).  Zero-tile slots (id 0) are skipped."""
+    """Tile-resident periodic Block-ELL matvec: grid (P/PGROUP, R), rep axis
+    innermost.  A group's PGROUP*KB tiles are DMA'd once at j==0 and stay in
+    VMEM for all R repetitions; x is fully VMEM-resident, so HBM traffic is
+    exactly ONE read of the period's tile set (plus the small output) — the
+    small-batch serving roofline (docs/SERVING.md).  Zero-tile slots (id 0,
+    including rows padding P up to PGROUP) are skipped."""
     KB = ids_ref.shape[1]
-    TM = t_buf.shape[1]
-    TN = t_buf.shape[2]
+    TM = t_buf.shape[2]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        for k in range(KB):  # static unroll: load this period row's tiles
-            tid = ids_ref[0, k]
-            pltpu.make_async_copy(tiles_hbm.at[tid], t_buf.at[k],
-                                  sems.at[k]).start()
-        for k in range(KB):
-            pltpu.make_async_copy(tiles_hbm.at[ids_ref[0, k]], t_buf.at[k],
-                                  sems.at[k]).wait()
+        for g in range(PGROUP):      # static unroll: load the group's tiles
+            for k in range(KB):
+                pltpu.make_async_copy(tiles_hbm.at[ids_ref[g, k]],
+                                      t_buf.at[g, k], sems.at[g, k]).start()
+        for g in range(PGROUP):
+            for k in range(KB):
+                pltpu.make_async_copy(tiles_hbm.at[ids_ref[g, k]],
+                                      t_buf.at[g, k], sems.at[g, k]).wait()
 
     out_ref[...] = jnp.zeros_like(out_ref)
-    for k in range(KB):  # static unroll over slots
-        tid = ids_ref[0, k]
+    for g in range(PGROUP):
+        for k in range(KB):          # static unroll over the group's slots
+            tid = ids_ref[g, k]
 
-        @pl.when(tid > 0)
-        def _(k=k):
-            cb = col_ref[0, k]
-            xb = x_vmem[:, pl.ds(cb * TN, TN)]
-            out_ref[...] += jax.lax.dot_general(
-                xb, t_buf[k], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
+            @pl.when(tid > 0)
+            def _(g=g, k=k):
+                cb = col_ref[0, g, k]
+                xb = x_vmem[:, pl.ds(cb * (t_buf.shape[3]), t_buf.shape[3])]
+                out_ref[:, pl.ds(g * TM, TM)] += jax.lax.dot_general(
+                    xb, t_buf[g, k],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "P", "R", "interpret"))
@@ -179,28 +185,38 @@ def periodic_block_ell_matvec(x_padded, tiles, tile_ids, col_blk, s, P, R,
     B = x_padded.shape[0]
     KB = tile_ids.shape[1]
     TM, TN = tiles.shape[1], tiles.shape[2]
+    P8 = -(-P // PGROUP) * PGROUP
+    # pre-slice + pad the mid-section index arrays so SMEM blocks are
+    # (PGROUP, KB)-aligned regardless of s/P alignment; pad rows hit tile 0
+    ids_mid = jnp.pad(tile_ids[s:s + P], ((0, P8 - P), (0, 0)))
+    cols_mid = jnp.pad(col_blk[s:s + P * R].reshape(R, P, KB),
+                       ((0, 0), (0, P8 - P), (0, 0)))
     from ..globals import precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_periodic_kernel, precision=prec)
+    n_grp = P8 // PGROUP
     y = pl.pallas_call(
         kernel,
-        grid=(P, R),
+        grid=(n_grp, R),
         in_specs=[
-            pl.BlockSpec((1, KB), lambda rho, j: (rho + j * P + s, 0),
-                         memory_space=pltpu.SMEM),          # col_blk row
-            pl.BlockSpec((1, KB), lambda rho, j: (rho + s, 0),
+            pl.BlockSpec((1, PGROUP, KB), lambda g, j: (j, g, 0),
+                         memory_space=pltpu.SMEM),          # col rows (rep j)
+            pl.BlockSpec((PGROUP, KB), lambda g, j: (g, 0),
                          memory_space=pltpu.SMEM),          # period tile ids
             pl.BlockSpec(memory_space=pltpu.VMEM),          # x resident
             pl.BlockSpec(memory_space=pltpu.ANY),           # tiles in HBM
         ],
-        out_specs=pl.BlockSpec((B, TM), lambda rho, j: (0, j * P + rho),
+        out_specs=pl.BlockSpec((B, PGROUP * TM),
+                               lambda g, j: (0, j * (P8 // PGROUP) + g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P * R * TM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R * P8 * TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((KB, TM, TN), dt),
-            pltpu.SemaphoreType.DMA((KB,)),
+            pltpu.VMEM((PGROUP, KB, TM, TN), dt),
+            pltpu.SemaphoreType.DMA((PGROUP, KB)),
         ],
         interpret=interpret,
-    )(col_blk, tile_ids, x_padded.astype(dt), tiles)
+    )(cols_mid, ids_mid, x_padded.astype(dt), tiles)
+    if P8 != P:  # strip the group padding: (B, R, P8*TM) -> (B, R*P*TM)
+        y = y.reshape(B, R, P8 * TM)[:, :, :P * TM].reshape(B, R * P * TM)
     return y

@@ -47,9 +47,12 @@ def main():
             y0 = np.asarray(block_ell_matmul(xs[0], t_dev, ids_dev, cb_dev,
                                              n_rb * TM))
             xg = xs[0].astype(dtype).reshape(B, n_cb, TN)[:, col_blk]
+            # HIGHEST so the reference accumulates in f32 like the kernel
+            # (default MXU bf16 passes would make the REFERENCE the noisy one)
             ye = np.asarray(jnp.einsum(
                 "brkn,rkmn->brm", xg, t_dev[tile_ids],
-                preferred_element_type=jnp.float32).reshape(B, -1))
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(B, -1))
             err = np.abs(y0 - ye).max() / max(1.0, np.abs(ye).max())
             assert err < 1e-3, err
 
