@@ -298,7 +298,11 @@ class BlockSparseOp(LinearOp):
             return int(Bs)
         s, P, R = self.period
         kernel_bytes = nchunks * P * KB * TM * TN * it
-        einsum_bytes = P * R * KB * B * TN * it
+        # the einsum path ALSO touches every period slot's tile — via a
+        # gather that MATERIALIZES tiles[tile_ids[s:s+P]] (write + read ≈ 2×
+        # the tile bytes; measured 101 ms for conv1_1's 1.85 GB gather at
+        # B=1) — plus its per-slot x gather
+        einsum_bytes = 2 * P * KB * TM * TN * it + P * R * KB * B * TN * it
         return int(Bs) if kernel_bytes < einsum_bytes else 0
 
     def _pallas_ok(self, B, TM, TN):
@@ -612,11 +616,20 @@ class PermutedBlockSparseOp(LinearOp):
 
     @staticmethod
     def _to_layout(x, meta):
-        """(B, n_core) channel-major -> layout order, via reshape/transpose."""
+        """(B, n_core) channel-major -> layout order, via reshape/transpose.
+        'runp' additionally zero-pads each run to a tile-aligned width (the
+        packed matrix has structurally-zero pad columns; see
+        streaming.keyed_conv_streaming run alignment)."""
         B = x.shape[0]
         if meta[0] == "run":
             _, C, npix, p = meta
             return x.reshape(B, C, npix // p, p).transpose(0, 2, 3, 1).reshape(B, -1)
+        if meta[0] == "runp":
+            _, C, npix, p, W_run = meta
+            t = x.reshape(B, C, npix // p, p).transpose(0, 2, 3, 1) \
+                .reshape(B, npix // p, p * C)
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, W_run - p * C)))
+            return t.reshape(B, -1)
         _, C, H, W, bh, bw = meta
         return x.reshape(B, C, H // bh, bh, W // bw, bw) \
             .transpose(0, 2, 4, 3, 5, 1).reshape(B, -1)

@@ -503,10 +503,21 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
 
     k_cands = (1, 2, 4, 8)
     near_end_strips = 2
+    pad_run_in = 0
     if run_p_out is not None:
         from .operators import run_layout_perm
         perm_out = run_layout_perm(outshape, run_p_out, homogeneous=True)
         perm_in = run_layout_perm(inshape, run_p_in, homogeneous=True)
+        # tile-align the input runs: when a run's column count (p·C_in) is
+        # not a multiple of TN, every run starts at a different phase within
+        # its 128-wide tile and identical content dedups only at the
+        # lcm-period (measured: VGG conv1_1 with C_in=3 → 588-col runs →
+        # 36,815 unique tiles ≈ 1.2 GB bf16).  Padding each run to the next
+        # TN multiple with structurally-zero columns restores per-run tile
+        # self-similarity; the pad columns are never referenced, and the
+        # apply-side layout inserts matching zeros (layout kind 'runp').
+        rpc_in = run_p_in * inshape[0]
+        pad_run_in = (-rpc_in) % TN
         rows_per_run = run_p_out * outshape[0]
         g = np.gcd(rows_per_run, TM)
         strip_rows = rows_per_run * (TM // g)
@@ -582,10 +593,24 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
             tgt = strip_rows_target or max(TM, min(400_000, 24_000_000 // est_row_nnz))
             rb_per_strip = max(1, tgt // TM)
 
-    cpos = np.empty(n_in, dtype=np.int32)
-    cpos[perm_in] = np.arange(n_in, dtype=np.int32)
+    if pad_run_in:
+        C_in = inshape[0]
+        npix_in_l = inshape[1] * inshape[2]
+        nruns_in = npix_in_l // run_p_in
+        W_run = run_p_in * C_in + pad_run_in
+        n_in_eff = nruns_in * W_run + 1
+        cpos = np.empty(n_in, dtype=np.int32)
+        idx = np.arange(C_in * npix_in_l).reshape(C_in, nruns_in, run_p_in)
+        c, r, q = np.meshgrid(np.arange(C_in), np.arange(nruns_in),
+                              np.arange(run_p_in), indexing="ij")
+        cpos[idx] = (r * W_run + q * C_in + c).astype(np.int32)
+        cpos[n_in - 1] = n_in_eff - 1
+    else:
+        n_in_eff = n_in
+        cpos = np.empty(n_in, dtype=np.int32)
+        cpos[perm_in] = np.arange(n_in, dtype=np.int32)
 
-    packer = StreamingBlockPacker((n_out, n_in), tileshape)
+    packer = StreamingBlockPacker((n_out, n_in_eff), tileshape)
     n_rb = _cdiv(n_out, TM)
 
     from ..layer import is_identity_key
@@ -766,11 +791,21 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
     # reshape/transpose (HBM-bandwidth) instead of 1-D gathers (~0.27 GB/s)
     if run_p_out is not None:
         lay_out = ("run", outshape[0], outshape[1] * outshape[2], run_p_out)
-        lay_in = ("run", inshape[0], inshape[1] * inshape[2], run_p_in)
+        lay_in = ("run", inshape[0], inshape[1] * inshape[2], run_p_in) \
+            if not pad_run_in else \
+            ("runp", inshape[0], inshape[1] * inshape[2], run_p_in,
+             run_p_in * inshape[0] + pad_run_in)
     else:
         lay_out = ("blk", outshape[0], outshape[1], outshape[2], bh, bw)
         lay_in = ("blk", inshape[0], inshape[1], inshape[2], bh * stride, bw * stride)
-    op = PermutedBlockSparseOp(inner, jnp.asarray(perm_in, dtype=jnp.int32),
+    perm_in_arr = perm_in
+    if pad_run_in:
+        # gather-fallback mapping for the padded layout (pad slots point at
+        # the hom coordinate; never used — 'runp' always takes the structured
+        # layout path, which inserts true zeros)
+        perm_in_arr = np.full(n_in_eff, n_in - 1, dtype=np.int64)
+        perm_in_arr[cpos] = np.arange(n_in, dtype=np.int64)
+    op = PermutedBlockSparseOp(inner, jnp.asarray(perm_in_arr, dtype=jnp.int32),
                                jnp.asarray(rpos, dtype=jnp.int32), (n_out, n_in),
                                layout_in=lay_in, layout_out=lay_out)
     op.streaming_stats = {"strips": n_strips, "extrapolated": len(extrapolated),
