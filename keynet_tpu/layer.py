@@ -62,12 +62,29 @@ class KeyedLayer:
         # an unseeded default keeps ad-hoc constructions secret-by-default.
         self._rng = rng if rng is not None else np.random.default_rng()
 
+        # Big keyed avgpools with per-channel-identical keys factor into
+        # I_C ⊗ (spatial) and store/apply only the spatial factor — C× less
+        # HBM and MXU matmuls instead of the serving-dominating ELL gather
+        # (see ops.kronfactor.channel_broadcast_keyed_pool).  Tried BEFORE the
+        # dense-inverse split below: the spatial-scale product never
+        # materializes the p²-per-row fill the split exists to avoid.
+        pool_op = None
+        if isinstance(module, specs.AvgPool2d) and W is None \
+                and inshape is not None and len(inshape) == 3 \
+                and outshape is not None \
+                and int(np.prod(outshape)) >= int(GLOBAL.get("POOL_FACTOR_MIN_N",
+                                                             20_000)):
+            from .ops.kronfactor import channel_broadcast_keyed_pool
+            pool_op = channel_broadcast_keyed_pool(
+                inshape, outshape, module.kernel_size, module.stride, A, Ainv,
+                tileshape=tileshape)
+
         # Dense-blocks inverse input keys (doubly-stochastic locals) are split
         # behind a secret sparse re-key R so the p²-per-row fill of W·A⁻¹
         # never materializes: the layer becomes the chain (A·W·R)·(R⁻¹·A⁻¹)
         # (see ops.streaming.split_dense_inverse; R is discarded here).
         f2 = None
-        if Ainv is not None and W is None and inshape is not None \
+        if pool_op is None and Ainv is not None and W is None and inshape is not None \
                 and len(inshape) == 3 and inshape[1] * inshape[2] > 1 \
                 and not isinstance(module, specs.Linear):
             from .ops.streaming import split_dense_inverse
@@ -140,6 +157,12 @@ class KeyedLayer:
         elif isinstance(module, specs.AvgPool2d):
             self._layertype = "avgpool2d"
             self._repr = "AvgPool2d: kernel_size=%d, stride=%d" % (module.kernel_size, module.stride)
+            if pool_op is not None:
+                self._op = pool_op
+                self.W = None
+                self.shape = pool_op.shape
+                self._nnz = pool_op.nnz()
+                return
             W_hom = toeplitz_avgpool2d(inshape, module.kernel_size, module.stride)
             W_hom = _key_sandwich(W_hom, A, Ainv)
         elif isinstance(module, specs.Linear):
@@ -211,21 +234,29 @@ class KeyedLayer:
         tile = self._tileshape or DEFAULT_TILE
         if format is not None:
             return materialize(W_hom, tileshape=tile, format=format)
+        spatial = (self._inshape is not None and self._outshape is not None
+                   and len(self._inshape) == 3 and len(self._outshape) == 3
+                   and self._inshape[1] * self._inshape[2] > 1)
         # pooling / keyed-ReLU matrices are a few nnz per row (pool window x
         # key fill); ELL beats dense on both HBM (8 bytes/nnz vs the full
         # n_out*n_in) and wall clock (measured 3.0 ms vs 4.3 ms dense at the
         # keyed-pool1 shape, B=8192, on v5e) whenever the row fill K is small
-        # (reference stores these as scipy CSR, keynet/sparse.py:206-212)
+        # (reference stores these as scipy CSR, keynet/sparse.py:206-212).
+        # At serving scale the ELL apply is a scalar 1-D gather (~1.8 GB/s
+        # measured at B=1 on v5e: the four VGG-224 keyed pools were 192 ms of
+        # a 228 ms forward), so BIG spatial pool/relu matrices fall through to
+        # the periodic Block-ELL packing below and ride the MXU like the
+        # convs; ELL stays the fallback if the packing declines.
         if self._layertype in ("avgpool2d", "relu"):
             K = int(np.diff(W_hom.indptr).max()) if W_hom.nnz else 1
             if K <= GLOBAL.get("ELL_MAX_K", 128) \
                     and 8 * 8 * n_out * K <= n_out * n_in * 4:
-                return EllOp.from_scipy(W_hom)
+                big = 8 * n_out * K > int(GLOBAL.get("POOL_BLOCK_ELL_MIN_BYTES",
+                                                     16 << 20))
+                if not (big and spatial):
+                    return EllOp.from_scipy(W_hom)
         if self._layertype == "linear" or n_out * n_in * 4 <= GLOBAL["DENSE_MAX_BYTES"]:
             return DenseOp.from_scipy(W_hom)
-        spatial = (self._inshape is not None and self._outshape is not None
-                   and len(self._inshape) == 3 and len(self._outshape) == 3
-                   and self._inshape[1] * self._inshape[2] > 1)
         ell_bytes = 8 * n_out * max(1, int(np.diff(W_hom.indptr).max()))
         if spatial:
             from .ops.operators import conv_layout_blocks

@@ -102,13 +102,19 @@ def conv2d_apply(x, w, b, stride, pad):
 
 
 def avgpool2d_apply(x, kernel_size, stride):
-    """Zero-padded (k//2) constant-window average, count-include-pad."""
+    """Zero-padded constant-window average, count-include-pad.
+
+    Window taps sit at offsets arange(k) - (k-1)//2 around each output pixel
+    (matching toeplitz.toeplitz_avgpool2d's lowering): symmetric (k//2, k//2)
+    padding for odd k — the only case the reference's models use
+    (keynet/mnist.py:55, vgg.py:50, all k=3) — and asymmetric
+    ((k-1)//2, k//2) = torch padding=0 window alignment for even k."""
     U, V = x.shape[2], x.shape[3]
-    pad = kernel_size // 2
+    lo, hi = (kernel_size - 1) // 2, kernel_size // 2
     y = lax.reduce_window(x, 0.0, lax.add,
                           window_dimensions=(1, 1, kernel_size, kernel_size),
                           window_strides=(1, 1, stride, stride),
-                          padding=[(0, 0), (0, 0), (pad, pad), (pad, pad)])
+                          padding=[(0, 0), (0, 0), (lo, hi), (lo, hi)])
     y = y[:, :, : U // stride, : V // stride]
     return y / float(kernel_size * kernel_size)
 

@@ -122,6 +122,25 @@ class BlockSparseOp(LinearOp):
         self.tileshape = tuple(tileshape)
         self._nnz = int(nnz)
         self.period = tuple(int(v) for v in period) if period else None
+        # Serving cache: the period's gathered tile set (P, KB, TM, TN),
+        # expanded ONCE at construction and kept in HBM.  Without it every
+        # forward pays a write+read of these bytes materializing
+        # tiles[tile_ids[s:s+P]] (device-trace-measured 101 ms for conv1_1's
+        # gather at B=1).  Costs ~P*KB*TM*TN extra HBM per op (~2.4 GB across
+        # orth-VGG conv1-3 vs 16 GB on v5e), gated by PERIODIC_EXPAND_BYTES.
+        self._Texp = None
+        if self.period is not None and self._expand_bytes() <= int(
+                GLOBAL.get("PERIODIC_EXPAND_BYTES", 512 << 20)):
+            s, P, _ = self.period
+            self._Texp = jnp.asarray(self.tiles)[jnp.asarray(self.tile_ids)[s:s + P]]
+
+    def _expand_bytes(self):
+        if self.period is None:
+            return 0
+        P = self.period[1]
+        KB = self.tile_ids.shape[1]
+        TM, TN = self.tileshape
+        return P * KB * TM * TN * self.tiles.dtype.itemsize
 
     @staticmethod
     def plan(A, tileshape=DEFAULT_TILE, chunk_entries=8_000_000):
@@ -246,7 +265,8 @@ class BlockSparseOp(LinearOp):
         B = xb.shape[0]
         TM, TN = self.tileshape
         KB = self.tile_ids.shape[1]
-        T = self.tiles[self.tile_ids[s:s + P]]        # (P, KB, TM, TN)
+        T = self._Texp if self._Texp is not None \
+            else self.tiles[self.tile_ids[s:s + P]]   # (P, KB, TM, TN)
         cols = self.col_blk[s:s + P * R].reshape(R, P, KB)
         # chunk over reps so the gathered x blocks stay bounded in HBM
         budget = int(GLOBAL.get("PERIODIC_X_CHUNK_BYTES", 256 << 20))
@@ -286,19 +306,27 @@ class BlockSparseOp(LinearOp):
         budget = 12 * (1 << 20)
         fixed = it * PGROUP * KB * TM * TN
         per_b = it * n_cols + 4 * PGROUP * TM
-        if budget <= fixed + per_b:
+        # the kernel's x operand and output block are sublane-padded: a 5-row
+        # bf16 chunk occupies 16 VMEM rows, so the chunk size must be a
+        # multiple of `sub` or the padded footprint blows the scoped-vmem
+        # limit at compile (observed: 27.6M > 16M at VGG conv2_1, B=8)
+        Bs = ((budget - fixed) // per_b // sub) * sub if budget > fixed else 0
+        if Bs <= 0:
             return 0
-        Bs = min(B, (budget - fixed) // per_b)
-        if Bs >= sub:
-            Bs = (Bs // sub) * sub
+        Bs = min(Bs, _cdiv(B, sub) * sub)
         nchunks = _cdiv(B, Bs)
         if nchunks > int(GLOBAL.get("PERIODIC_KERNEL_MAX_CHUNKS", 32)):
             return 0
         if mode == "always":
             return int(Bs)
+        if self._Texp is not None:
+            # the expanded-einsum path reads the period tile set once per
+            # forward too, without the kernel's per-slot dispatch overhead
+            # (device trace: 176 ms/fwd overhead-bound tiny dots at B=1 VGG)
+            return 0
         s, P, R = self.period
         kernel_bytes = nchunks * P * KB * TM * TN * it
-        # the einsum path ALSO touches every period slot's tile — via a
+        # the un-expanded einsum path touches every period slot's tile via a
         # gather that MATERIALIZES tiles[tile_ids[s:s+P]] (write + read ≈ 2×
         # the tile bytes; measured 101 ms for conv1_1's 1.85 GB gather at
         # B=1) — plus its per-slot x gather
@@ -367,20 +395,24 @@ class BlockSparseOp(LinearOp):
         return self._nnz
 
     def device_bytes(self):
+        texp = int(self._Texp.size) * self._Texp.dtype.itemsize \
+            if self._Texp is not None else 0
         return int(self.tiles.size) * self.tiles.dtype.itemsize \
-            + int(self.tile_ids.size) * 8
+            + int(self.tile_ids.size) * 8 + texp
 
     def arrays(self):
         return {"tiles": self.tiles, "tile_ids": self.tile_ids, "col_blk": self.col_blk}
 
     def tree_flatten(self):
-        return (self.tiles, self.tile_ids, self.col_blk), \
+        # _Texp rides along as a child (None flattens to an empty subtree) so
+        # the cache is visible inside jitted programs taking ops as arguments
+        return (self.tiles, self.tile_ids, self.col_blk, self._Texp), \
             (self.shape, self.tileshape, self._nnz, self.period)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
-        op.tiles, op.tile_ids, op.col_blk = children
+        op.tiles, op.tile_ids, op.col_blk, op._Texp = children
         op.shape, op.tileshape, op._nnz, op.period = aux
         return op
 
@@ -913,6 +945,71 @@ class TapSumOp(LinearOp):
         op = cls.__new__(cls)
         op.K, op.S, op.bias = children
         op.shape, op._nnz = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class ChannelBroadcastOp(LinearOp):
+    """Homogeneous channel-broadcast operator  [[I_C ⊗ M, 1_C ⊗ b], [0, 1]]
+    for a per-channel-identical keyed spatial action M: (p2, p1).
+
+    A keyed avgpool Ŵ = A·W·A⁻¹ whose keys have identical per-channel
+    spatial blocks (A = I_C ⊗ D̃, the structure keygen's local families
+    produce; see ops/kronfactor.py) is exactly I_C ⊗ (D̃_out·S·D̃_in') with S
+    the single-channel pool Toeplitz — the device analog of the reference's
+    channel-broadcast Conv2dTiledMatrix (keynet/sparse.py:690-777) composed
+    with its avgpool lowering (keynet/sparse.py:206-212).  Storing only the
+    spatial factor is C× smaller than the materialized pool, and the apply
+    batches all channels through the factor as (B·C, p1) MXU work instead of
+    the scalar 1-D ELL gather (device-trace-measured ~1.8 GB/s: the four
+    VGG-224 keyed pools were 192 ms of a 228 ms B=1 forward).
+
+    Publishing the factor reveals nothing the materialized pool would not:
+    the materialized matrix IS I_C ⊗ M, so M is readable off it directly.
+
+    ``inner`` is any LinearOp over the NON-homogeneous spatial vectors
+    ((N, p1) -> (N, p2)); ``bias_sp`` is the (p2,) per-channel bias (the keyed
+    pool's bias column is p2-periodic because both key biases are).
+    """
+
+    def __init__(self, inner, C, bias_sp, nnz=None):
+        self.inner = inner      # LinearOp (p2, p1)
+        self.C = int(C)
+        self.bias_sp = bias_sp  # (p2,) jnp f32
+        p2, p1 = inner.shape
+        self.shape = (self.C * p2 + 1, self.C * p1 + 1)
+        self._nnz = int(nnz) if nnz is not None else \
+            self.C * (inner.nnz()
+                      + int(np.count_nonzero(np.asarray(bias_sp)))) + 1
+
+    def apply(self, x):
+        B = x.shape[0]
+        p2, p1 = self.inner.shape
+        xh = x[:, -1:]
+        yc = self.inner.apply(x[:, :-1].reshape(B * self.C, p1))
+        yc = yc.reshape(B, self.C, p2) + xh[:, :, None] * self.bias_sp[None, None, :]
+        return jnp.concatenate([yc.reshape(B, -1), xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return self.inner.device_bytes() + int(self.bias_sp.size) * 4
+
+    def arrays(self):
+        d = {"bias_sp": self.bias_sp}
+        for k, v in self.inner.arrays().items():
+            d["inner_" + k] = v
+        return d
+
+    def tree_flatten(self):
+        return (self.inner, self.bias_sp), (self.C, self.shape, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.inner, op.bias_sp = children
+        op.C, op.shape, op._nnz = aux
         return op
 
 

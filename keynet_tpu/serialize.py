@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from .layer import KeyedLayer
 from .ops.operators import (DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp,
-                            ChainedOp, RepeatedBlockDiagOp, KroneckerOp, TapSumOp)
+                            ChainedOp, RepeatedBlockDiagOp, KroneckerOp, TapSumOp,
+                            ChannelBroadcastOp)
 
 
 def _op_state(op):
@@ -26,7 +27,10 @@ def _op_state(op):
     if isinstance(op, BlockSparseOp):
         arrs = {k: np.asarray(v) for k, v in op.arrays().items()}
         tile_dtype = str(op.tiles.dtype)
-        if tile_dtype != "float32":  # npz has no bfloat16; store f32 (lossless)
+        if tile_dtype == "bfloat16":  # npz has no bfloat16; store the bit
+            # pattern as uint16 (lossless, half the bytes of widening to f32)
+            arrs["tiles"] = np.asarray(op.tiles).view(np.uint16)
+        elif tile_dtype != "float32":
             arrs["tiles"] = np.asarray(op.tiles.astype(jnp.float32))
         return "block", arrs, \
             {"shape": op.shape, "tileshape": op.tileshape, "nnz": op.nnz(),
@@ -57,6 +61,13 @@ def _op_state(op):
         return "tapsum", {"K": np.asarray(op.K), "S": np.asarray(op.S),
                           "bias": np.asarray(op.bias)}, \
             {"shape": op.shape, "nnz": op.nnz()}
+    if isinstance(op, ChannelBroadcastOp):
+        k, a, m = _op_state(op.inner)
+        arrs = {"in_" + kk: vv for kk, vv in a.items()}
+        arrs["bias_sp"] = np.asarray(op.bias_sp)
+        return "chanbcast", arrs, \
+            {"inner_kind": k, "inner_meta": _jsonable(m), "C": op.C,
+             "nnz": op.nnz()}
     if isinstance(op, ChainedOp):
         arrs, parts = {}, []
         for i, sub in enumerate(op.ops):
@@ -73,7 +84,11 @@ def _op_restore(kind, arrs, meta):
         return DenseOp(jnp.asarray(arrs["W"]), nnz=meta["nnz"])
     if kind == "block":
         tdt = meta.get("tile_dtype", "float32")
-        return BlockSparseOp(jnp.asarray(arrs["tiles"], dtype=tdt),
+        tiles = arrs["tiles"]
+        if tiles.dtype == np.uint16:  # bf16 stored as its bit pattern
+            import ml_dtypes
+            tiles = tiles.view(ml_dtypes.bfloat16)
+        return BlockSparseOp(jnp.asarray(tiles, dtype=tdt),
                              jnp.asarray(arrs["tile_ids"]),
                              jnp.asarray(arrs["col_blk"]), tuple(meta["shape"]),
                              tuple(meta["tileshape"]), meta["nnz"],
@@ -101,6 +116,11 @@ def _op_restore(kind, arrs, meta):
     if kind == "tapsum":
         return TapSumOp(jnp.asarray(arrs["K"]), jnp.asarray(arrs["S"]),
                         jnp.asarray(arrs["bias"]), nnz=meta["nnz"])
+    if kind == "chanbcast":
+        sub = {k[len("in_"):]: v for k, v in arrs.items() if k.startswith("in_")}
+        inner = _op_restore(meta["inner_kind"], sub, meta["inner_meta"])
+        return ChannelBroadcastOp(inner, int(meta["C"]),
+                                  jnp.asarray(arrs["bias_sp"]), nnz=meta["nnz"])
     if kind == "chain":
         ops = []
         for i, part in enumerate(meta["parts"]):

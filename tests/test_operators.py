@@ -277,7 +277,9 @@ def test_bf16_block_op_state_roundtrip():
     finally:
         GLOBAL["TILE_DTYPE"] = "float32"
     kind, arrs, meta = _op_state(op)
-    assert arrs["tiles"].dtype == np.float32 and meta["tile_dtype"] == "bfloat16"
+    # bf16 tiles serialize as their uint16 bit pattern (npz has no bfloat16;
+    # widening to f32 doubled the snapshot bytes)
+    assert arrs["tiles"].dtype == np.uint16 and meta["tile_dtype"] == "bfloat16"
     op2 = _op_restore(kind, arrs, meta)
     assert op2.tiles.dtype == jnp.bfloat16
     x = jnp.asarray(rng.standard_normal((3, 90)).astype(np.float32))

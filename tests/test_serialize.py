@@ -69,6 +69,47 @@ def test_block_sparse_op_roundtrip(tmp_path):
         GLOBAL["DENSE_MAX_BYTES"] = old
 
 
+def test_bf16_tiles_roundtrip_bitwise(tmp_path):
+    """bf16 device tiles are stored as their uint16 bit pattern (half the
+    bytes of widening to f32) and must restore bit-identically."""
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import BlockSparseOp, PermutedBlockSparseOp
+    old_dense, old_dtype = GLOBAL["DENSE_MAX_BYTES"], GLOBAL.get("TILE_DTYPE")
+    GLOBAL["DENSE_MAX_BYTES"] = 1 << 20
+    GLOBAL["TILE_DTYPE"] = "bfloat16"
+    try:
+        net = keynet.models.LeNet_AvgPool(seed=1)
+        sensor, knet = keynet.Keynet((1, 28, 28), net,
+                                     global_geometric="hierarchical_permutation",
+                                     hierarchical_blockshape=(2, 2),
+                                     hierarchical_permute_at_level=(0,),
+                                     local_geometric="givens_orthogonal", alpha=2.0,
+                                     blocksize=4, local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, memoryorder="block", seed=0)
+        blk = next(l.op() for l in knet.layers().values()
+                   if l != "relu" and isinstance(l.op(), PermutedBlockSparseOp))
+        assert str(blk.inner.tiles.dtype) == "bfloat16"
+        x = np.random.default_rng(0).normal(size=(1, 1, 28, 28)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "bf16.npz")
+        save_keynet(p, knet, sensor=sensor, include_keys=True)
+        z = np.load(p)
+        tile_arrs = [z[k] for k in z.files if k.endswith("__tiles")]
+        assert tile_arrs and all(a.dtype == np.uint16 for a in tile_arrs)
+        _, knet2 = load_keynet(p)
+        blk2 = next(l.op() for l in knet2.layers().values()
+                    if l != "relu" and isinstance(l.op(), PermutedBlockSparseOp))
+        assert str(blk2.inner.tiles.dtype) == "bfloat16"
+        assert np.array_equal(y0, np.asarray(knet2.forward(xc)))
+    finally:
+        GLOBAL["DENSE_MAX_BYTES"] = old_dense
+        if old_dtype is None:
+            GLOBAL.pop("TILE_DTYPE", None)
+        else:
+            GLOBAL["TILE_DTYPE"] = old_dtype
+
+
 def test_chain_and_repblockdiag_roundtrip(tmp_path):
     """A split/masked layer checkpoint (ChainedOp containing a
     RepeatedBlockDiagOp and a layout-carrying streamed PermutedBlockSparseOp)
