@@ -298,8 +298,21 @@ def channel_broadcast_keyed_pool(inshape, outshape, kernelsize, stride,
     M_sp.eliminate_zeros()
     b_sp = (D_out @ (S @ b_in) + b_out).astype(np.float32)
 
-    inner = materialize(M_sp, tileshape=tileshape or DEFAULT_TILE,
-                        dense_max_bytes=min(GLOBAL["DENSE_MAX_BYTES"], 32 << 20))
+    # The spatial factor always stays f32: it is tiny next to the conv tile
+    # stores (the factored pool IS the compression — C× fewer bytes), and
+    # bf16 tiles cost ~2e-3 relative error (measured at VGG-224 pool2_2,
+    # the one pool whose factor lands in Block-ELL), which breaks the f32
+    # equivalence tier and trips the selfcheck into the slow ELL fallback.
+    old_dt = GLOBAL.get("TILE_DTYPE")
+    GLOBAL["TILE_DTYPE"] = "float32"
+    try:
+        inner = materialize(M_sp, tileshape=tileshape or DEFAULT_TILE,
+                            dense_max_bytes=min(GLOBAL["DENSE_MAX_BYTES"], 32 << 20))
+    finally:
+        if old_dt is None:
+            GLOBAL.pop("TILE_DTYPE", None)
+        else:
+            GLOBAL["TILE_DTYPE"] = old_dt
     nnz = C1 * (int(M_sp.nnz) + int(np.count_nonzero(b_sp))) + 1
     op = ChannelBroadcastOp(inner, C1, _jnp.asarray(b_sp), nnz=nnz)
 

@@ -20,6 +20,8 @@ ap.add_argument("--tile-dtype", default="float32", choices=["float32", "bfloat16
 ap.add_argument("--batches", default="1")
 ap.add_argument("--profile", default=None)
 ap.add_argument("--reps", type=int, default=5)
+ap.add_argument("--save", default=None,
+                help="save_keynet snapshot path (serve later via serve_vgg_orth.py)")
 args = ap.parse_args()
 
 GLOBAL["VERBOSE"] = True
@@ -78,6 +80,13 @@ for B in [int(b) for b in args.batches.split(",")]:
                 yb = knet.forward(xcb)
             yb.block_until_ready()
         print("[vgg224-orth] trace for B=%d -> %s" % (B, args.profile), flush=True)
+
+if args.save:
+    from keynet_tpu.serialize import save_keynet
+    t0 = time.time()
+    save_keynet(args.save, knet, sensor=sensor, include_keys=True)
+    print("[vgg224-orth] snapshot -> %s (%.1fs)" % (args.save, time.time() - t0),
+          flush=True)
 
 print("[vgg224-orth] RESULT %s  convert_s=%.1f nnz=%d bytes=%d err=%.3g"
       % ("PASS" if err < tol else "FAIL", t_conv, knet.num_parameters(),

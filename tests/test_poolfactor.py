@@ -74,6 +74,34 @@ def test_channel_broadcast_pool_identity_sides():
     assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
 
 
+def test_channel_broadcast_inner_stays_f32_under_bf16_tier():
+    """TILE_DTYPE=bfloat16 must not leak into the pool spatial factor: bf16
+    tiles cost ~2e-3 relative error (measured at VGG-224 pool2_2), breaking
+    the f32 equivalence tier and tripping the selfcheck into the slow ELL
+    fallback.  The factor is tiny next to conv tile stores, so it stays f32."""
+    import jax.numpy as jnp
+    inshape, outshape = (4, 16, 16), (4, 8, 8)
+    A, _ = keys.keygen(outshape, seed=1, local_geometric="givens_orthogonal",
+                       alpha=4, blocksize=8,
+                       local_photometric="uniform_random_gain", beta=1.0)
+    _, Ainv = keys.keygen(inshape, seed=2, local_geometric="givens_orthogonal",
+                          alpha=4, blocksize=8,
+                          local_photometric="uniform_random_gain", beta=1.0)
+    old = GLOBAL.get("TILE_DTYPE")
+    GLOBAL["TILE_DTYPE"] = "bfloat16"
+    try:
+        op = channel_broadcast_keyed_pool(inshape, outshape, 2, 2, A, Ainv)
+        assert op is not None
+        for name, arr in op.arrays().items():
+            assert arr.dtype != jnp.bfloat16, (name, arr.dtype)
+        assert GLOBAL["TILE_DTYPE"] == "bfloat16"  # override restored
+    finally:
+        if old is None:
+            GLOBAL.pop("TILE_DTYPE", None)
+        else:
+            GLOBAL["TILE_DTYPE"] = old
+
+
 def test_channel_broadcast_gate_declines():
     """Per-row global photometric keys (channel blocks NOT identical) must
     decline so the layer falls back to the materialized path."""
