@@ -110,6 +110,36 @@ def test_bf16_tiles_roundtrip_bitwise(tmp_path):
             GLOBAL["TILE_DTYPE"] = old_dtype
 
 
+def test_channel_broadcast_pool_roundtrip(tmp_path):
+    """A ChannelBroadcastOp pool (spatial factor + per-channel bias) must
+    round-trip bitwise — VGG-224 serving snapshots depend on it (the factored
+    pools are what keep B=1 off the slow ELL gather path)."""
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import ChannelBroadcastOp
+    old_min = GLOBAL.get("POOL_FACTOR_MIN_N")
+    GLOBAL["POOL_FACTOR_MIN_N"] = 1  # engage the factored pool at 28x28 scale
+    try:
+        net = keynet.models.LeNet_AvgPool(seed=1)
+        sensor, knet = keynet.TiledOrthogonalKeynet((1, 28, 28), net,
+                                                    tilesize=14, seed=0)
+        assert any(l != "relu" and isinstance(l.op(), ChannelBroadcastOp)
+                   for l in knet.layers().values())
+        x = np.random.default_rng(0).normal(size=(2, 1, 28, 28)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "chanbcast.npz")
+        save_keynet(p, knet, sensor=sensor, include_keys=True)
+        _, knet2 = load_keynet(p)
+        assert any(l != "relu" and isinstance(l.op(), ChannelBroadcastOp)
+                   for l in knet2.layers().values())
+        assert np.array_equal(y0, np.asarray(knet2.forward(xc)))
+    finally:
+        if old_min is None:
+            GLOBAL.pop("POOL_FACTOR_MIN_N", None)
+        else:
+            GLOBAL["POOL_FACTOR_MIN_N"] = old_min
+
+
 def test_chain_and_repblockdiag_roundtrip(tmp_path):
     """A split/masked layer checkpoint (ChainedOp containing a
     RepeatedBlockDiagOp and a layout-carrying streamed PermutedBlockSparseOp)
