@@ -74,6 +74,27 @@ def layergen(module, inshape, outshape, A, Ainv, params=None, tileshape=None,
                       tileshape=tileshape, rng=rng)
 
 
+def _conversion_device():
+    """Device context for conversion-time array work.
+
+    Conversion is host numpy/scipy work punctuated by small selfcheck
+    ``op.apply`` calls and hundreds of small factor uploads.  When the default
+    backend is a remote accelerator (the axon TPU tunnel), each selfcheck is a
+    fresh XLA compile through the tunnel (~30 s) and each upload a network
+    roundtrip — measured 652 s for the cifar_bn conversion vs 5.4 s on the
+    CPU backend.  Build everything on the in-process CPU backend instead;
+    ``KeyedModel._build`` moves the finished op pytree to the accelerator in
+    one ``device_put``."""
+    from contextlib import nullcontext
+    if jax.default_backend() == "cpu":
+        return nullcontext()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return nullcontext()
+    return jax.default_device(cpu)
+
+
 class KeyedModel:
     """Convert a source model spec into a keynet (reference keynet/system.py:26-157).
 
@@ -115,6 +136,16 @@ class KeyedModel:
         # --- walk the spec and key each layer --------------------------------
         import time as _time
         keyed = OrderedDict()
+        with _conversion_device():
+            self._key_layers(net, shapes, layerkey, keyed,
+                             f_module_to_keyedmodule, _time)
+        self._layers = keyed
+        self._outshape = shapes["output"]["outshape"]
+        self._forward = None  # lazily-built jitted program
+        self._embeddingkey_op = None
+
+    def _key_layers(self, net, shapes, layerkey, keyed,
+                    f_module_to_keyedmodule, _time):
         for l in net.layers:
             k = l.name
             if isinstance(l, specs.Dropout):
@@ -170,11 +201,6 @@ class KeyedModel:
             if k in keyed or (k.endswith("_bn")):
                 vprint("[keynet_tpu.KeyedModel]:     %.1fs" % (_time.perf_counter() - _t0))
 
-        self._layers = keyed
-        self._outshape = shapes["output"]["outshape"]
-        self._forward = None  # lazily-built jitted program
-        self._embeddingkey_op = None
-
     @classmethod
     def from_layers(cls, layers, outshape, imagekey=None, embeddingkey=None):
         """Assemble a KeyedModel directly from an OrderedDict of KeyedLayer /
@@ -213,7 +239,13 @@ class KeyedModel:
                     i += 1
             return x
 
-        self._ops = tuple(ops)
+        ops = tuple(ops)
+        if jax.default_backend() != "cpu":
+            # conversion built the op arrays on the in-process CPU backend
+            # (_conversion_device); commit the whole pytree to the accelerator
+            # in one transfer so forwards never re-upload.
+            ops = jax.device_put(ops, jax.devices()[0])
+        self._ops = ops
         self._forward_fn = run          # un-jitted body (for custom jit/sharding)
         self._forward = jax.jit(run)
 
