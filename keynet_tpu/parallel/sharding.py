@@ -62,7 +62,8 @@ def shard_keynet_ops(knet, mesh, tp_axis="tp", min_tp_bytes=32 * 1024 * 1024):
     fc6 (4097 x 25089, 411 MB) splits column-wise; XLA inserts the psum of the
     tp-partial products.  Everything else (tiles, index arrays, small denses)
     replicates.  Returns the sharded ops tuple for knet._forward."""
-    from ..ops.operators import DenseOp, BlockSparseOp, PermutedBlockSparseOp
+    from ..ops.operators import (DenseOp, BlockSparseOp, PermutedBlockSparseOp,
+                                 ChainedOp)
 
     knet._build()
     repl = NamedSharding(mesh, P())
@@ -77,6 +78,15 @@ def shard_keynet_ops(knet, mesh, tp_axis="tp", min_tp_bytes=32 * 1024 * 1024):
         if (isinstance(op, (BlockSparseOp, PermutedBlockSparseOp)) and tp > 1
                 and op.device_bytes() >= min_tp_bytes):
             tpop = tp_shard_block_op(op, mesh, tp_axis)
+            if tpop is not None:
+                out.append(tpop)
+                continue
+        # Kronecker/TapSum chains are factor-compact (MBs) but FLOP-heavy;
+        # shard their matmuls once the factors are big enough that per-link
+        # shard_map overhead amortizes
+        if (isinstance(op, ChainedOp) and tp > 1
+                and op.device_bytes() >= min_tp_bytes // 8):
+            tpop = tp_shard_chain_op(op, mesh, tp_axis)
             if tpop is not None:
                 out.append(tpop)
                 continue
@@ -188,6 +198,208 @@ class TpShardedBlockEllOp:
         op.tiles, op.tile_ids, op.col_blk = children
         op.shape, op.tileshape, op._nnz, op.mesh, op.tp_axis = aux
         return op
+
+
+@jax.tree_util.register_pytree_node_class
+class TpShardedKroneckerOp:
+    """Tensor-parallel KroneckerOp: the channel factor C (C2, C1) is sharded
+    over its OUTPUT rows across the 'tp' mesh axis, so each device computes a
+    contiguous channel-major slice of y = (C ⊗ S)·x (SURVEY §2.5 TP row,
+    extended to the round-3 Kronecker chain format).
+
+    The spatial matmul X·Sᵀ is recomputed per shard — S is the small factor
+    of the layers this format serves (VGG conv4/5: p ≤ 196 vs C ≥ 512), so
+    the duplicated FLOPs are the minor term while the dominant channel matmul
+    splits tp-ways with no collectives (outputs concatenate along features).
+    Keys with a row gather (perm_out) stay replicated upstream: the gather
+    crosses shard boundaries.
+    """
+
+    def __init__(self, Cm, Sm, bias, shape, nnz, mesh, tp_axis="tp",
+                 perm_in=None):
+        self.Cm = Cm          # (tp, C2/tp, C1), row-sharded
+        self.Sm = Sm          # (p2, p1) replicated
+        self.bias = bias      # (n_out,) replicated, final output coords
+        self.perm_in = perm_in
+        self.shape = tuple(shape)
+        self._nnz = int(nnz)
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+
+    @staticmethod
+    def from_kron_op(op, mesh, tp_axis="tp"):
+        tp = mesh.shape[tp_axis]
+        C2 = op.Cm.shape[0]
+        if op.perm_out is not None or C2 % tp or C2 // tp < 1:
+            return None
+        sh = NamedSharding(mesh, P(tp_axis))
+        repl = NamedSharding(mesh, P())
+        Cm = jax.device_put(op.Cm.reshape(tp, C2 // tp, -1), sh)
+        return TpShardedKroneckerOp(
+            Cm, jax.device_put(op.Sm, repl), jax.device_put(op.bias, repl),
+            op.shape, op.nnz(), mesh, tp_axis,
+            perm_in=None if op.perm_in is None
+            else jax.device_put(op.perm_in, repl))
+
+    def apply(self, x):
+        from jax.experimental.shard_map import shard_map
+        from ..globals import precision
+        B = x.shape[0]
+        C1 = self.Cm.shape[2]
+        p2, p1 = self.Sm.shape
+        n_in = C1 * p1
+        xc = x[:, :n_in]
+        xh = x[:, n_in:]
+        if self.perm_in is not None:
+            xc = jnp.take(xc, self.perm_in, axis=1)
+        xc = xc.reshape(B, C1, p1)
+        prec = precision()
+
+        def shard_fn(Cm, Sm, xs):
+            Cm = Cm[0]                           # (C2/tp, C1)
+            t = jnp.einsum("bcp,qp->bcq", xs, Sm,
+                           preferred_element_type=jnp.float32, precision=prec)
+            y = jnp.einsum("bcq,dc->bdq", t, Cm,
+                           preferred_element_type=jnp.float32, precision=prec)
+            return y.reshape(xs.shape[0], -1)    # (B, C2/tp * p2)
+
+        ax = self.tp_axis
+        y = shard_map(shard_fn, mesh=self.mesh, in_specs=(P(ax), P(), P()),
+                      out_specs=P(None, ax))(self.Cm, self.Sm, xc)
+        y = y + xh * self.bias[None, :]
+        return jnp.concatenate([y, xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.Cm.size + self.Sm.size + self.bias.size) * 4
+
+    def arrays(self):
+        return {"Cm": self.Cm, "Sm": self.Sm, "bias": self.bias}
+
+    def tree_flatten(self):
+        return (self.Cm, self.Sm, self.bias, self.perm_in), \
+            (self.shape, self._nnz, self.mesh, self.tp_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.Cm, op.Sm, op.bias, op.perm_in = children
+        op.shape, op._nnz, op.mesh, op.tp_axis = aux
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
+class TpShardedTapSumOp:
+    """Tensor-parallel TapSumOp: the tap axis of Σ_t K_t ⊗ S_t is sharded
+    across 'tp' (taps zero-padded to a multiple), each device accumulates its
+    taps' full contribution, and one psum over tp produces y — FLOP-balanced
+    with a single (B, C2·p2) collective.
+    """
+
+    def __init__(self, K, S, bias, shape, nnz, mesh, tp_axis="tp"):
+        self.K = K          # (tp, T/tp, C2, C1), tap-sharded
+        self.S = S          # (tp, T/tp, p2, p1), tap-sharded
+        self.bias = bias    # (n_out,) replicated
+        self.shape = tuple(shape)
+        self._nnz = int(nnz)
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+
+    @staticmethod
+    def from_tapsum_op(op, mesh, tp_axis="tp"):
+        tp = mesh.shape[tp_axis]
+        T, C2, C1 = op.K.shape
+        p2, p1 = op.S.shape[1], op.S.shape[2]
+        pad = (-T) % tp
+        K = jnp.pad(op.K, ((0, pad), (0, 0), (0, 0)))
+        S = jnp.pad(op.S, ((0, pad), (0, 0), (0, 0)))
+        sh = NamedSharding(mesh, P(tp_axis))
+        return TpShardedTapSumOp(
+            jax.device_put(K.reshape(tp, -1, C2, C1), sh),
+            jax.device_put(S.reshape(tp, -1, p2, p1), sh),
+            jax.device_put(op.bias, NamedSharding(mesh, P())),
+            op.shape, op.nnz(), mesh, tp_axis)
+
+    def apply(self, x):
+        from jax.experimental.shard_map import shard_map
+        from ..globals import precision
+        B = x.shape[0]
+        C1 = self.K.shape[3]
+        p2, p1 = self.S.shape[2], self.S.shape[3]
+        n_in = C1 * p1
+        xc = x[:, :n_in].reshape(B, C1, p1)
+        xh = x[:, n_in:]
+        prec = precision()
+        ax = self.tp_axis
+
+        def shard_fn(K, S, xs):
+            K, S = K[0], S[0]                    # (T/tp, C2, C1), (T/tp, p2, p1)
+            y = None
+            for t in range(K.shape[0]):
+                tmp = jnp.einsum("bcp,qp->bcq", xs, S[t],
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+                yt = jnp.einsum("bcq,dc->bdq", tmp, K[t],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                y = yt if y is None else y + yt
+            y = jax.lax.psum(y, ax)
+            return y.reshape(xs.shape[0], -1)
+
+        y = shard_map(shard_fn, mesh=self.mesh, in_specs=(P(ax), P(ax), P()),
+                      out_specs=P())(self.K, self.S, xc)
+        y = y + xh * self.bias[None, :]
+        return jnp.concatenate([y, xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.K.size + self.S.size + self.bias.size) * 4
+
+    def arrays(self):
+        return {"K": self.K, "S": self.S, "bias": self.bias}
+
+    def tree_flatten(self):
+        return (self.K, self.S, self.bias), \
+            (self.shape, self._nnz, self.mesh, self.tp_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.K, op.S, op.bias = children
+        op.shape, op._nnz, op.mesh, op.tp_axis = aux
+        return op
+
+
+def tp_shard_chain_op(op, mesh, tp_axis="tp"):
+    """Convert a ChainedOp's Kronecker/TapSum members to their tp-sharded
+    forms (TapSum: tap-sharded + psum; Kronecker: channel-row-sharded).
+    Members that cannot shard (perm_out gathers, non-Kron links) replicate.
+    Returns a new ChainedOp, or None when nothing in the chain shards."""
+    from ..ops.operators import ChainedOp, KroneckerOp, TapSumOp
+    if not isinstance(op, ChainedOp):
+        return None
+    tp = mesh.shape[tp_axis] if tp_axis in mesh.axis_names else 1
+    if tp <= 1:
+        return None
+    repl = NamedSharding(mesh, P())
+    out, any_sharded = [], False
+    for link in op.ops:
+        conv = None
+        if isinstance(link, TapSumOp):
+            conv = TpShardedTapSumOp.from_tapsum_op(link, mesh, tp_axis)
+        elif isinstance(link, KroneckerOp):
+            conv = TpShardedKroneckerOp.from_kron_op(link, mesh, tp_axis)
+        if conv is not None:
+            out.append(conv)
+            any_sharded = True
+        else:
+            out.append(jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, repl), link))
+    return ChainedOp(out) if any_sharded else None
 
 
 def tp_shard_block_op(op, mesh, tp_axis="tp", max_replication=0.75):

@@ -143,6 +143,61 @@ def test_shard_keynet_ops_uses_tp_block(keyed_lenet):
     assert np.allclose(y0, y1, atol=1e-5)
 
 
+def test_tp_sharded_kron_chain():
+    """Kronecker/TapSum chain links tp-shard (taps + psum for the tap-sum,
+    channel rows for the Kronecker factors) and the dp×tp forward matches
+    single-device exactly (SURVEY §2.5 TP extended to the round-3 format)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.models.specs import Model, Conv2d, ReLU, Linear
+    from keynet_tpu.ops.operators import ChainedOp
+    from keynet_tpu.parallel.sharding import (
+        shard_keynet_ops, tp_shard_chain_op, TpShardedTapSumOp,
+        TpShardedKroneckerOp)
+    old = GLOBAL["STREAM_NNZ"]
+    GLOBAL["STREAM_NNZ"] = 10_000
+    try:
+        net = Model([Conv2d("conv1", 4, 4, 3), ReLU("relu1"),
+                     Linear("fc1", 4 * 16 * 16, 10)], inshape=(4, 16, 16),
+                    seed=2)
+        sensor, knet = keynet.Keynet((4, 16, 16), net,
+                                     local_geometric="givens_orthogonal",
+                                     alpha=8, blocksize=16,
+                                     local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, seed=3)
+        knet._build()
+        chain = next(l.op() for l in knet.layers().values()
+                     if l != "relu" and isinstance(l.op(), ChainedOp))
+        mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+
+        # direct conversion: sharded chain apply == replicated chain apply
+        tpchain = tp_shard_chain_op(chain, mesh, "tp")
+        assert tpchain is not None
+        kinds = {type(o).__name__ for o in tpchain.ops}
+        assert "TpShardedTapSumOp" in kinds and "TpShardedKroneckerOp" in kinds
+        rng = np.random.default_rng(4)
+        xh = rng.normal(size=(8, chain.shape[1])).astype(np.float32)
+        xh[:, -1] = 1.0
+        y0 = np.asarray(chain.apply(jnp.asarray(xh)))
+        y1 = np.asarray(tpchain.apply(jnp.asarray(xh)))
+        assert np.allclose(y0, y1, atol=1e-5)
+
+        # end to end through shard_keynet_ops routing
+        x = rng.normal(size=(8, 4, 16, 16)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        yf0 = np.asarray(knet._forward(knet._ops, jnp.asarray(xc)))
+        ops = shard_keynet_ops(knet, mesh, min_tp_bytes=1 << 10)
+        assert any(isinstance(o, ChainedOp)
+                   and any(isinstance(l, (TpShardedTapSumOp,
+                                          TpShardedKroneckerOp)) for l in o.ops)
+                   for o in ops)
+        yf1 = np.asarray(knet._forward(ops, jnp.asarray(xc)))
+        assert np.allclose(yf0, yf1, atol=1e-5)
+    finally:
+        GLOBAL["STREAM_NNZ"] = old
+
+
 def test_dp_sharded_kron_chain_forward():
     """Kronecker/tap-sum chains replicate cleanly and serve a dp-sharded
     cipher batch identically to single-device."""
