@@ -184,3 +184,39 @@ def test_chain_and_repblockdiag_roundtrip(tmp_path):
     finally:
         GLOBAL["STREAM_NNZ"] = old
         GLOBAL["KRON_FACTORED"] = old_kron
+
+
+def test_kron_chain_roundtrip(tmp_path):
+    """A Kronecker/TapSum chain layer (the round-3 factored conv format the
+    VGG-224 serving snapshots depend on) must round-trip bitwise."""
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import ChainedOp, KroneckerOp, TapSumOp
+    from keynet_tpu.models.specs import Model, Conv2d, ReLU, Linear
+    old = GLOBAL["STREAM_NNZ"]
+    GLOBAL["STREAM_NNZ"] = 10_000  # force factored path at 16x16
+    try:
+        net = Model([Conv2d("conv1", 4, 4, 3), ReLU("relu1"),
+                     Linear("fc1", 4 * 16 * 16, 10)], inshape=(4, 16, 16),
+                    seed=2)
+        sensor, knet = keynet.Keynet((4, 16, 16), net,
+                                     local_geometric="givens_orthogonal",
+                                     alpha=8, blocksize=16,
+                                     local_photometric="uniform_random_affine",
+                                     beta=1.0, gamma=1.0, seed=3)
+        chain = next((l.op() for l in knet.layers().values()
+                      if l != "relu" and isinstance(l.op(), ChainedOp)), None)
+        assert chain is not None
+        sub = {type(o).__name__ for o in chain.ops}
+        assert "KroneckerOp" in sub and "TapSumOp" in sub, sub
+        x = np.random.default_rng(0).normal(size=(2, 4, 16, 16)).astype(np.float32)
+        xc = np.asarray(sensor.fromtensor(x).encrypt().tensor())
+        y0 = np.asarray(knet.forward(xc))
+        p = str(tmp_path / "kronchain.npz")
+        save_keynet(p, knet, sensor=sensor, include_keys=True)
+        _, knet2 = load_keynet(p)
+        chain2 = next(l.op() for l in knet2.layers().values()
+                      if l != "relu" and isinstance(l.op(), ChainedOp))
+        assert {type(o).__name__ for o in chain2.ops} == sub
+        assert np.array_equal(y0, np.asarray(knet2.forward(xc)))
+    finally:
+        GLOBAL["STREAM_NNZ"] = old
