@@ -32,6 +32,9 @@ GLOBAL = {
     "TILE_DTYPE": "float32",
     # periodic apply path: cap on the gathered x-blocks materialized per einsum
     "PERIODIC_X_CHUNK_BYTES": 256 << 20,
+    # grouped-row apply (find_row_groups): only plan row-pattern dedup for
+    # non-periodic Block-ELL ops whose per-forward slot traffic exceeds this
+    "ROWGROUP_MIN_SLOT_BYTES": 64 << 20,
     # Kronecker-factored keyed convs (ops/kronfactor.py): 'auto' engages for
     # streaming-scale convs whose keys have identical per-channel spatial
     # blocks; 'never' disables (falls back to strip streaming)

@@ -133,6 +133,34 @@ class BlockSparseOp(LinearOp):
                 GLOBAL.get("PERIODIC_EXPAND_BYTES", 512 << 20)):
             s, P, _ = self.period
             self._Texp = jnp.asarray(self.tiles)[jnp.asarray(self.tile_ids)[s:s + P]]
+        # Grouped-row plan: rows deduplicated by tile_ids content (the
+        # row-permuted analog of the periodic path — find_row_groups).  Each
+        # distinct pattern's tiles are read ONCE per forward instead of once
+        # per slot; engages when the matrix is non-periodic, slot traffic is
+        # material, and patterns actually repeat.
+        self._rgroups = None
+        self._rgroup_meta = ()
+        self._rgroup_inv = None
+        if (self.period is None
+                and self.tile_ids.shape[0] * self.tile_ids.shape[1]
+                * self.tileshape[0] * self.tileshape[1]
+                * self.tiles.dtype.itemsize
+                >= int(GLOBAL.get("ROWGROUP_MIN_SLOT_BYTES", 64 << 20))):
+            plan = find_row_groups(np.asarray(self.tile_ids))
+            if plan is not None:
+                ids_np = np.asarray(self.tile_ids)
+                cb_np = np.asarray(self.col_blk)
+                KB = ids_np.shape[1]
+                groups, meta = [], []
+                for m, rows, patterns in plan["buckets"]:
+                    G = len(patterns)
+                    groups.append((jnp.asarray(patterns, dtype=jnp.int32),
+                                   jnp.asarray(cb_np[rows].reshape(G, m, KB))))
+                    meta.append((m, G))
+                self._rgroups = tuple(groups)
+                self._rgroup_meta = tuple(meta)
+                self._rgroup_inv = jnp.asarray(plan["inv_order"],
+                                               dtype=jnp.int32)
 
     def _expand_bytes(self):
         if self.period is None:
@@ -236,7 +264,55 @@ class BlockSparseOp(LinearOp):
             y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             return y[:, :n_out]
 
+        if self._rgroups is not None and self._grouped_wins(B):
+            return self._apply_grouped(x.reshape(B, n_cb, TN))[:, :n_out]
+
         return self._apply_rows(x, x.reshape(B, n_cb, TN), 0, n_rb)[:, :n_out]
+
+    def _grouped_wins(self, B):
+        """HBM-traffic model: grouped-row apply vs the slot path it replaces.
+        Grouped gathers each distinct pattern's tiles once (write+read) plus
+        the per-slot x blocks and a row-block reorder of the output; the slot
+        paths re-touch a tile per slot (Pallas kernel: one DMA read; einsum:
+        gather materialization, write+read)."""
+        TM, TN = self.tileshape
+        it = self.tiles.dtype.itemsize
+        tile_b = TM * TN * it
+        n_rb, KB = self.tile_ids.shape
+        slots = n_rb * KB
+        distinct_slots = sum(G * KB for _, G in self._rgroup_meta)
+        x_b = slots * B * TN * it
+        grouped = 2 * distinct_slots * tile_b + x_b + 2 * B * n_rb * TM * 4
+        alt = slots * tile_b + x_b if self._pallas_ok(B, TM, TN) \
+            else 2 * slots * tile_b + x_b
+        return grouped < alt
+
+    def _apply_grouped(self, xb):
+        """Grouped-row apply: one batched einsum per multiplicity bucket, with
+        each distinct tile_ids pattern's tiles gathered once; outputs are
+        produced in bucket order and un-permuted with a row-block take (the
+        grouping is content-derived, see find_row_groups)."""
+        B = xb.shape[0]
+        TM, TN = self.tileshape
+        prec = self._precision()
+        budget = int(GLOBAL.get("PERIODIC_X_CHUNK_BYTES", 256 << 20))
+        it = self.tiles.dtype.itemsize
+        parts = []
+        for (patterns, cols), (m, G) in zip(self._rgroups, self._rgroup_meta):
+            KB = patterns.shape[1]
+            T = self.tiles[patterns]                    # (G, KB, TM, TN)
+            gc = max(1, min(G, budget // max(1, B * m * KB * TN * it)))
+            for g0 in range(0, G, gc):
+                cj = cols[g0:g0 + gc]                   # (g, m, KB)
+                Xt = xb[:, cj]                          # (B, g, m, KB, TN)
+                y = jnp.einsum("bgmkn,gktn->bgmt", Xt, T[g0:g0 + gc],
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+                parts.append(y.reshape(B, -1))
+        y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        n_rb = self.tile_ids.shape[0]
+        y = jnp.take(y.reshape(B, n_rb, TM), self._rgroup_inv, axis=1)
+        return y.reshape(B, n_rb * TM)
 
     def _apply_rows(self, x, xb, a, b):
         """Slot-walk apply for row-blocks [a, b): the Pallas DMA-pipelined
@@ -397,23 +473,32 @@ class BlockSparseOp(LinearOp):
     def device_bytes(self):
         texp = int(self._Texp.size) * self._Texp.dtype.itemsize \
             if self._Texp is not None else 0
+        rg = 0
+        if self._rgroups is not None:
+            rg = sum(int(p.size) * 4 + int(c.size) * 4
+                     for p, c in self._rgroups) + int(self._rgroup_inv.size) * 4
         return int(self.tiles.size) * self.tiles.dtype.itemsize \
-            + int(self.tile_ids.size) * 8 + texp
+            + int(self.tile_ids.size) * 8 + texp + rg
 
     def arrays(self):
         return {"tiles": self.tiles, "tile_ids": self.tile_ids, "col_blk": self.col_blk}
 
     def tree_flatten(self):
-        # _Texp rides along as a child (None flattens to an empty subtree) so
-        # the cache is visible inside jitted programs taking ops as arguments
-        return (self.tiles, self.tile_ids, self.col_blk, self._Texp), \
-            (self.shape, self.tileshape, self._nnz, self.period)
+        # _Texp and the grouped-row plan ride along as children (None/() are
+        # empty subtrees) so the caches are visible inside jitted programs
+        # taking ops as arguments; static shapes go in aux (hashed by jit)
+        return (self.tiles, self.tile_ids, self.col_blk, self._Texp,
+                self._rgroups, self._rgroup_inv), \
+            (self.shape, self.tileshape, self._nnz, self.period,
+             self._rgroup_meta)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         op = cls.__new__(cls)
-        op.tiles, op.tile_ids, op.col_blk, op._Texp = children
-        op.shape, op.tileshape, op._nnz, op.period = aux
+        (op.tiles, op.tile_ids, op.col_blk, op._Texp,
+         op._rgroups, op._rgroup_inv) = children
+        (op.shape, op.tileshape, op._nnz, op.period,
+         op._rgroup_meta) = aux
         return op
 
 
@@ -1122,6 +1207,53 @@ def find_row_period(tile_ids, min_reps=2, min_cover=0.5, min_saved=8,
         return None
     _, _, s, P, R = best
     return (s, P, R)
+
+
+def find_row_groups(tile_ids, max_distinct_frac=0.5, min_saved=64):
+    """Group row-blocks by identical tile_ids rows (content-dedup at the ROW
+    level — the generalization of find_row_period to rows repeated with
+    ragged multiplicities in arbitrary order, which is what a row-permuting
+    key leaves behind: the stochastic VGG-224 conv1_1/conv2_1 cores have only
+    577/772 distinct row patterns over 25k/12.5k row-blocks but no (s,P,R)
+    periodicity).  The grouping is a pure function of the published tile_ids,
+    so exploiting it neither requires nor reveals any key material.
+
+    Returns None when fewer than ``min_saved`` row-blocks share patterns or
+    the distinct fraction exceeds ``max_distinct_frac``; else a plan dict:
+
+      buckets: list of (m, rows (G*m,) int64, patterns (G, KB) int64) — all
+               groups with multiplicity m, member row-blocks concatenated
+               group-major; every row-block appears in exactly one bucket
+      inv_order: (n_rb,) int64 with inv_order[r] = position of row-block r in
+               the bucket-concatenated output order
+    """
+    tile_ids = np.asarray(tile_ids)
+    n_rb = len(tile_ids)
+    if n_rb < 2:
+        return None
+    _, first, tok, counts = np.unique(tile_ids, axis=0, return_index=True,
+                                      return_inverse=True, return_counts=True)
+    tok = tok.astype(np.int64).ravel()
+    n_groups = len(first)
+    if n_rb - n_groups < min_saved or n_groups > max_distinct_frac * n_rb:
+        return None
+    order = np.argsort(tok, kind="stable")       # rows grouped, groups by token
+    m_of_group = counts                          # (n_groups,)
+    # bucket groups by multiplicity; within a bucket, groups keep token order
+    buckets = []
+    out_order = []
+    group_starts = np.concatenate(([0], np.cumsum(m_of_group)))
+    for m in np.unique(m_of_group):
+        gsel = np.flatnonzero(m_of_group == m)
+        rows = np.concatenate([order[group_starts[g]:group_starts[g + 1]]
+                               for g in gsel])
+        patterns = tile_ids[order[group_starts[gsel]]].astype(np.int64)
+        buckets.append((int(m), rows.astype(np.int64), patterns))
+        out_order.append(rows)
+    out_order = np.concatenate(out_order)
+    inv_order = np.empty(n_rb, dtype=np.int64)
+    inv_order[out_order] = np.arange(n_rb)
+    return {"buckets": buckets, "inv_order": inv_order}
 
 
 def block_diag_period(A, candidates):

@@ -417,3 +417,58 @@ def test_periodic_apply_uses_kernel_when_forced():
     finally:
         GLOBAL["USE_PALLAS"] = old
     assert np.abs(y_kernel - y_einsum).max() < 1e-4
+
+
+def test_grouped_row_apply_matches_dense():
+    """Row-permuted repeated tile patterns (no (s,P,R) periodicity): the
+    grouped-row plan engages and the apply equals the dense reference.  This
+    is the stochastic-VGG conv1_1/conv2_1 core shape: a row-permuting key
+    leaves hundreds of distinct tile_id row patterns with ragged
+    multiplicities (find_row_groups), where the slot paths re-read tiles."""
+    import jax
+    import jax.numpy as jnp
+    from keynet_tpu.globals import GLOBAL
+    from keynet_tpu.ops.operators import find_row_groups
+    rng = np.random.default_rng(3)
+    TM = TN = 128
+    U, KB, n_cb = 8, 3, 4
+    tiles = (rng.standard_normal((U, TM, TN)) / np.sqrt(KB * TN)).astype(np.float32)
+    tiles[0] = 0.0
+    pats = rng.integers(1, U, size=(8, KB)).astype(np.int32)
+    mult = [1, 2, 5, 8, 16, 32, 64, 128]
+    rows = np.concatenate([[i] * m for i, m in enumerate(mult)])
+    rng.shuffle(rows)
+    ids = pats[rows]                                   # (64, KB), scrambled
+    n_rb = len(rows)
+    cols = rng.integers(0, n_cb, size=(n_rb, KB)).astype(np.int32)
+
+    plan = find_row_groups(ids, min_saved=8)
+    assert plan is not None
+    assert sum(len(p) for _, _, p in plan["buckets"]) == 8
+    assert sum(len(r) for _, r, _ in plan["buckets"]) == n_rb
+
+    old = GLOBAL.get("ROWGROUP_MIN_SLOT_BYTES")
+    GLOBAL["ROWGROUP_MIN_SLOT_BYTES"] = 0
+    try:
+        op = BlockSparseOp(jnp.asarray(tiles), jnp.asarray(ids),
+                           jnp.asarray(cols), (n_rb * TM, n_cb * TN),
+                           (TM, TN), nnz=1, period=None)
+    finally:
+        if old is None:
+            GLOBAL.pop("ROWGROUP_MIN_SLOT_BYTES", None)
+        else:
+            GLOBAL["ROWGROUP_MIN_SLOT_BYTES"] = old
+    assert op._rgroups is not None and op._grouped_wins(2)
+
+    D = np.zeros((n_rb * TM, n_cb * TN), dtype=np.float32)
+    for r in range(n_rb):
+        for k in range(KB):
+            D[r * TM:(r + 1) * TM, cols[r, k] * TN:(cols[r, k] + 1) * TN] += \
+                tiles[ids[r, k]]
+    x = rng.standard_normal((2, n_cb * TN)).astype(np.float32)
+    y_ref = x @ D.T
+    y = np.asarray(op.apply(jnp.asarray(x)))
+    assert np.abs(y - y_ref).max() < 1e-4
+    # grouped path must survive a jit round trip (pytree flatten/unflatten)
+    y_jit = np.asarray(jax.jit(lambda o, xx: o.apply(xx))(op, jnp.asarray(x)))
+    assert np.abs(y_jit - y_ref).max() < 1e-4
