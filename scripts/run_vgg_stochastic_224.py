@@ -22,6 +22,7 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--tile-dtype", default="float32", choices=["float32", "bfloat16"])
 ap.add_argument("--batches", default="1")
 ap.add_argument("--reps", type=int, default=5)
+ap.add_argument("--profile", default=None)
 ap.add_argument("--save", default=None,
                 help="save_keynet snapshot path (serve later via serve_vgg_orth.py)")
 args = ap.parse_args()
@@ -76,6 +77,14 @@ for B in [int(b) for b in args.batches.split(",")]:
     dt = (time.time() - t0) / args.reps
     print("[vgg224-stoch] B=%d  warm %.3fs  %.1f imgs/sec  (cold %.1fs)"
           % (B, dt, B / dt, cold), flush=True)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            for _ in range(3):
+                yb = knet.forward(xcb)
+            yb.block_until_ready()
+        print("[vgg224-stoch] trace for B=%d -> %s" % (B, args.profile),
+              flush=True)
 
 if args.save:
     from keynet_tpu.serialize import save_keynet
