@@ -189,18 +189,27 @@ def repeat_block_diagonal(B, shape, dtype=_DTYPE):
     """
     H, W = shape
     h, w = B.shape
-    if H % h == 0 and W % w == 0 and H // h == W // w:
-        # aligned fast path: emit CSR directly (no COO sort) — dense-block
-        # inverses at VGG scale reach ~1e8 nnz, where coo_tocsr dominates
+    r = min(H % h, W % w)
+    if H % h == W % w and (H - r) // h == (W - r) // w:
+        # aligned fast path (+ small identity tail handled in-line): emit CSR
+        # directly (no COO sort) — dense-block inverses at VGG scale reach
+        # ~1e8-1e9 nnz, where coo_tocsr and int64 indices dominate keygen
         B = scipy.sparse.csr_matrix(B)
-        n = H // h
+        n = (H - r) // h
+        idt = np.int32 if W <= np.iinfo(np.int32).max else np.int64
         counts = np.diff(B.indptr)
-        indptr = np.concatenate([[0], np.cumsum(np.tile(counts, n))])
-        indices = (B.indices[None, :].astype(np.int64)
-                   + (np.arange(n, dtype=np.int64)[:, None] * w)).reshape(-1)
-        return scipy.sparse.csr_matrix(
-            (np.tile(B.data.astype(dtype, copy=False), n), indices, indptr),
-            shape=(H, W))
+        tail_counts = np.ones(r, dtype=counts.dtype) if r else \
+            np.empty(0, dtype=counts.dtype)
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.concatenate([np.tile(counts, n), tail_counts]))])
+        indices = (B.indices[None, :].astype(idt)
+                   + (np.arange(n, dtype=idt)[:, None] * w)).reshape(-1)
+        data = np.tile(B.data.astype(dtype, copy=False), n)
+        if r:
+            indices = np.concatenate(
+                [indices, (n * w + np.arange(r)).astype(idt)])
+            data = np.concatenate([data, np.ones(r, dtype=dtype)])
+        return scipy.sparse.csr_matrix((data, indices, indptr), shape=(H, W))
     B = scipy.sparse.coo_matrix(B)
     # Number of FULL tiles: positions i=k*h, j=k*w with i+h<H and j+w<W get B;
     # the final position gets B only if it fits exactly, else the identity tile.
@@ -219,6 +228,75 @@ def repeat_block_diagonal(B, shape, dtype=_DTYPE):
             cols = np.concatenate([cols, nfit * w + rr])
             vals = np.concatenate([vals, np.ones(r)])
     return scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(H, W), dtype=dtype).tocsr()
+
+
+def _emit_perm_blockdiag_affine(gv, Binner, N, d=None, b=None, dtype=_DTYPE,
+                                chunk_entries=8 << 20):
+    """One-pass CSR emission of  G · (I ⊗ Binner ⊕ 1) · diag-affine(d, b)  on
+    homogeneous (N+1)² coordinates: row i is Binner row (gv[i] % h) placed at
+    column offset gv[i] - gv[i] % h, columns scaled by ``d``, plus the bias
+    entry Σ_j M0[gv[i], j]·b[j] in the last column; last row is e_N.
+
+    This is the exact value of keygen's inverse-side composition
+    Ginv·ginv·pinv for channel memoryorder — materialized ONCE.  The generic
+    path costs four full passes over the result (tile, homogenize, permute,
+    scale+add), which at VGG-224 stochastic scale is ~3e8 dense-block nnz ×
+    ~13 GB per pass on a host whose first-touch page rate is the bottleneck
+    (CLAUDE.md).  Chunked so temporaries stay ~100 MB.
+
+    gv: (N+1,) permutation (gv[N] == N), or None for identity.
+    d, b: (N+1,) diagonal scale / bias column vectors (d[N]==1, b[N]==0), or
+    None.  Returns homogeneous CSR.
+    """
+    Binner = scipy.sparse.csr_matrix(Binner)
+    h = Binner.shape[0]
+    assert N % h == 0 and Binner.shape[1] == h
+    if gv is None:
+        src = np.arange(N, dtype=np.int64)
+    else:
+        assert gv[N] == N
+        src = np.asarray(gv[:N], dtype=np.int64)
+    rmod = src % h
+    cnt = np.diff(Binner.indptr)
+    counts = cnt[rmod].astype(np.int64)
+    has_bias = b is not None
+    indptr = np.empty(N + 2, dtype=np.int64)
+    indptr[0] = 0
+    np.cumsum(counts + (1 if has_bias else 0), out=indptr[1:N + 1])
+    indptr[N + 1] = indptr[N] + 1                 # last row e_N
+    nnz = int(indptr[N + 1])
+    idt = np.int32 if N + 1 <= np.iinfo(np.int32).max else np.int64
+    indices = np.empty(nnz, dtype=idt)
+    data = np.empty(nnz, dtype=dtype)
+    Bi = Binner.indices.astype(np.int64)
+    Bd = Binner.data.astype(dtype, copy=False)
+    # chunk by ENTRIES, not rows: dense inverse blocks put ~h nnz in every
+    # row, so a row-count chunk would materialize multi-GB index temporaries
+    chunk_rows = max(1024, int(chunk_entries // max(1, int(cnt.max()))))
+    for r0 in range(0, N, chunk_rows):
+        r1 = min(N, r0 + chunk_rows)
+        c = counts[r0:r1]
+        total = int(c.sum())
+        within = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(c[:-1]))), c)
+        gpos = np.repeat(Binner.indptr[rmod[r0:r1]].astype(np.int64), c) + within
+        cols = Bi[gpos] + np.repeat(src[r0:r1] - rmod[r0:r1], c)
+        vals = Bd[gpos]
+        pos = np.repeat(indptr[r0:r1], c) + within
+        if has_bias:
+            rid = np.repeat(np.arange(r1 - r0, dtype=np.int64), c)
+            bv = np.bincount(rid, weights=vals * b[cols], minlength=r1 - r0)
+            bpos = indptr[r0 + 1:r1 + 1] - 1
+            indices[bpos] = N
+            data[bpos] = bv.astype(dtype, copy=False)
+        indices[pos] = cols.astype(idt, copy=False)
+        data[pos] = vals * d[cols] if d is not None else vals
+    indices[-1] = N
+    data[-1] = 1.0
+    M = scipy.sparse.csr_matrix((data, indices, indptr), shape=(N + 1, N + 1))
+    if has_bias:
+        M.eliminate_zeros()                       # rows whose bias dot is 0
+    return M
 
 
 # ------------------------------------------------------------------ keygen
@@ -306,7 +384,7 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
 
     # --- g: local (blockwise) geometric ----------------------------------
     if local_geometric == "identity":
-        g = ginv = None
+        g = ginv = ginv_inner = None
     else:
         assert blocksize is not None and (height == width or (height == 1 and width == 1))
         if local_geometric == "permutation":
@@ -321,11 +399,14 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
             S, Sinv = givens_orthogonal_matrix(blocknumel, int(alpha), rng, withinverse=True)
             Pm, Pminv = permutation_matrix(blocknumel, rng, withinverse=True)
             gb, gbinv = (Pm @ S).tocsr(), (Sinv @ Pminv).tocsr()
-        # spatial repeat to (H,H) then channel repeat to (N,N)
-        g = repeat_block_diagonal(repeat_block_diagonal(gb, (H, H)), (N, N))
-        ginv = repeat_block_diagonal(repeat_block_diagonal(gbinv, (H, H)), (N, N))
-    if g is not None:
-        g, ginv = sparse_affine_to_linear(g), sparse_affine_to_linear(ginv)
+        # spatial repeat to (H,H), then channel repeat straight to the
+        # homogeneous (N+1, N+1): the ragged identity tail IS the homogeneous
+        # corner, so the sparse_affine_to_linear copy (a full extra pass over
+        # the ~1e9-nnz dense-block inverse at VGG-224 scale) never happens
+        g_inner = repeat_block_diagonal(gb, (H, H))
+        ginv_inner = repeat_block_diagonal(gbinv, (H, H))
+        g = repeat_block_diagonal(g_inner, (N + 1, N + 1))
+        ginv = None   # deferred: fused emission or plain tiling, see below
 
     # --- P: global photometric -------------------------------------------
     P, Pinv = _photometric(N, global_photometric, rng, beta=beta, gamma=gamma,
@@ -350,6 +431,36 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
             return None  # one-per-row but not a bijection
         return v
 
+    def _diag_affine_vec(M):
+        """(d, b) if homogeneous M is diagonal + last-column bias with last
+        row e_n (the form every photometric factor takes), else None."""
+        M = scipy.sparse.csr_matrix(M)
+        n = M.shape[0] - 1
+        if M.shape[0] != M.shape[1] or M.nnz > 2 * (n + 1):
+            return None
+        rows = np.repeat(np.arange(n + 1), np.diff(M.indptr))
+        on_diag = M.indices == rows
+        on_bias = (M.indices == n) & ~on_diag
+        if not (on_diag | on_bias).any() or not (on_diag | on_bias).all():
+            return None
+        d = np.zeros(n + 1, dtype=M.data.dtype)
+        d[rows[on_diag]] = M.data[on_diag]
+        if d[n] != 1.0 or (d[:n] == 0).any() or on_bias[rows == n].any():
+            return None
+        b = np.zeros(n + 1, dtype=M.data.dtype)
+        b[rows[on_bias]] = M.data[on_bias]
+        return d, b
+
+    def _col_add(M, v):
+        """M + (column vector v at the last column), CSR O(nnz) merge."""
+        idx = np.flatnonzero(v)
+        if len(idx) == 0:
+            return M
+        n = M.shape[1] - 1
+        col = scipy.sparse.csr_matrix(
+            (v[idx], (idx, np.full(len(idx), n))), shape=M.shape)
+        return (M + col).tocsr()
+
     def _mul(L, R):
         pv = _perm_vec(L)
         if pv is not None:                      # (P @ M)[i, :] = M[perm[i], :]
@@ -361,6 +472,26 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
             Lc.has_sorted_indices = False
             Lc.sort_indices()
             return Lc
+        # diag-affine factors multiply as an O(nnz) scale + one sparse-column
+        # add (a generic spgemm against the ~1e9-nnz dense-block inverse at
+        # VGG-224 scale costs ~25 s/call and a full extra materialization)
+        da = _diag_affine_vec(R)
+        if da is not None:                      # M @ diag-affine
+            d, b = da
+            Lc = scipy.sparse.csr_matrix(L).copy()
+            Lc.data = Lc.data * d[Lc.indices]
+            return _col_add(Lc, scipy.sparse.csr_matrix(L) @ b)
+        da = _diag_affine_vec(L)
+        if da is not None:                      # diag-affine @ M
+            d, b = da
+            R = scipy.sparse.csr_matrix(R)
+            n = R.shape[0] - 1
+            last = R.indptr[n + 1] - R.indptr[n]
+            if last == 1 and R.indices[-1] == n and R.data[-1] == 1.0:
+                rows = np.repeat(np.arange(n + 1), np.diff(R.indptr))
+                Rc = R.copy()
+                Rc.data = Rc.data * d[rows]
+                return _col_add(Rc, b)          # b[i]·R[n,:] = b[i]·e_n
         return L @ R
 
     def _compose(factors):
@@ -372,9 +503,31 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
         return (out if out is not None
                 else sparse_affine_to_linear(identity_matrix(N))).tocsr()
 
-    A = _compose([Cinv, p, g, P, G, C])
-    Ainv = _compose([Cinv, Ginv, Pinv, ginv, pinv, C])
+    # ---- inverse-side fused emission: when the inverse local factor is the
+    # big one (dense doubly-stochastic blocks: ~3e8 nnz at VGG-224) and the
+    # remaining inverse factors are a permutation and a diag-affine in
+    # channel memoryorder, emit Ginv·ginv·pinv in ONE pass instead of
+    # tile + permute + scale + add (four full materializations, each
+    # first-touch-page-rate bound on this host) -----------------------------
     from .globals import GLOBAL
+    fused_Ainv = None
+    if ginv_inner is not None and Cinv is None and Pinv is None \
+            and ginv_inner.nnz * (N // H) \
+            >= int(GLOBAL.get("KEYGEN_FUSE_NNZ", 50_000_000)):
+        gvec = _perm_vec(Ginv) if Ginv is not None else None
+        da = _diag_affine_vec(pinv) if pinv is not None else (None, None)
+        if (Ginv is None or gvec is not None) and da is not None:
+            d_, b_ = da
+            if b_ is not None and not b_.any():
+                b_ = None
+            fused_Ainv = _emit_perm_blockdiag_affine(gvec, ginv_inner, N,
+                                                     d=d_, b=b_)
+    if ginv_inner is not None and fused_Ainv is None:
+        ginv = repeat_block_diagonal(ginv_inner, (N + 1, N + 1))
+
+    A = _compose([Cinv, p, g, P, G, C])
+    Ainv = fused_Ainv if fused_Ainv is not None \
+        else _compose([Cinv, Ginv, Pinv, ginv, pinv, C])
     if GLOBAL.get("SELFCHECK", False):
         keypair_selfcheck(A, Ainv)
     return A, Ainv

@@ -164,3 +164,36 @@ def test_givens_orthogonal_no_self_pair():
         S, Sinv = keys.givens_orthogonal_matrix(5, 50, rng, withinverse=True)
         assert _is_identity(S @ Sinv, atol=1e-9)
         assert _is_identity(S @ S.T, atol=1e-9)
+
+
+def test_keygen_fused_inverse_matches_generic():
+    """The one-pass inverse-side emission (keys._emit_perm_blockdiag_affine,
+    taken when the dense-block inverse would dominate keygen) must equal the
+    generic tile-permute-scale composition exactly."""
+    from keynet_tpu.globals import GLOBAL
+    recipes = [
+        dict(global_geometric="hierarchical_permutation",
+             hierarchical_blockshape=(2, 2), hierarchical_permute_at_level=(0,),
+             local_geometric="doubly_stochastic", alpha=2.0, blocksize=4,
+             local_photometric="uniform_random_affine", beta=1.0, gamma=1.0),
+        dict(global_geometric="permutation", local_geometric="doubly_stochastic",
+             alpha=2.0, blocksize=4, local_photometric="uniform_random_gain",
+             beta=1.0),
+        dict(global_geometric="identity", local_geometric="doubly_stochastic",
+             alpha=2.0, blocksize=4, local_photometric="identity"),
+    ]
+    for shape in [(3, 16, 16), (6, 1, 1)]:
+        for r in recipes:
+            GLOBAL["KEYGEN_FUSE_NNZ"] = 1
+            try:
+                A1, Ainv1 = keys.keygen(shape, seed=7, **r)
+            finally:
+                GLOBAL["KEYGEN_FUSE_NNZ"] = 10 ** 18
+            try:
+                A2, Ainv2 = keys.keygen(shape, seed=7, **r)
+            finally:
+                GLOBAL.pop("KEYGEN_FUSE_NNZ", None)
+            assert (A1 - A2).nnz == 0
+            d = (Ainv1 - Ainv2)
+            assert d.nnz == 0 or abs(d).max() < 1e-14
+            assert keys.keypair_selfcheck(A1, Ainv1) < 1e-6
