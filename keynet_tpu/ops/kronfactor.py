@@ -123,6 +123,33 @@ def _kron_side(M, npix, C, side):
     return D, b, np.argsort(g).astype(np.int64)   # xp[k] = x[g⁻¹(k)]
 
 
+def _detected_period(M, npix):
+    """Smallest pixel-divisor block-diagonal period of a key's core, or npix
+    when no divisor fits (no block structure / permutation-composed keys —
+    those dedup at whole-image scale if they stream).  Identity keys are 1."""
+    from ..layer import is_identity_key
+    from .operators import block_diag_period
+    if M is None or is_identity_key(M):
+        return 1
+    divs = [d for d in range(2, npix + 1) if npix % d == 0]
+    p = block_diag_period(M, divs)
+    return int(p) if p is not None else npix
+
+
+def _wide_kron_wanted(A, Ainv, p1, p2):
+    """Engage the wide npix range only when streaming would dedup poorly:
+    some key side has no block period below GLOBAL['KRON_WIDE_PERIOD'], i.e.
+    its local blocks span (nearly) the whole image.  Streamed tiles for such
+    keys are pairwise distinct (measured: stochastic VGG-224 conv3_1, key
+    period 3136 = whole 56x56 image, 13,974 unique tiles = 458 MB bf16 +
+    272 s of strip spgemm — vs ~430 MB of dense Kron factors built in
+    seconds and applied as MXU matmuls).  Small-period keys stream into a
+    few hundred deduped tiles, far smaller than p^2 dense factors — keep
+    streaming those."""
+    wide_min = int(GLOBAL.get("KRON_WIDE_PERIOD", 512))
+    return max(_detected_period(A, p2), _detected_period(Ainv, p1)) > wide_min
+
+
 def random_orthogonal(m, rng):
     """Haar-ish random dense orthogonal via QR with sign fix."""
     Q, R = np.linalg.qr(rng.standard_normal((m, m)))
@@ -159,8 +186,19 @@ def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
     C2, H2, W2 = outshape
     p1, p2 = H1 * W1, H2 * W2
     npix_max = int(GLOBAL.get("KRON_NPIX_MAX", 1024))
-    if p1 > npix_max or p2 > npix_max or p1 <= 1 or p2 <= 1:
+    wide_max = int(GLOBAL.get("KRON_NPIX_WIDE", 4096))
+    if p1 > wide_max or p2 > wide_max or p1 <= 1 or p2 <= 1:
         return None
+    if p1 > npix_max or p2 > npix_max:
+        # wide range: dense (npix, npix) factors are only worth it when the
+        # streamed alternative would dedup at whole-image scale
+        if not _wide_kron_wanted(A, Ainv, p1, p2):
+            return None
+        kh_, kw_ = np.asarray(weight).shape[2], np.asarray(weight).shape[3]
+        est = 4 * (kh_ * kw_ * p1 * p2 + p1 * p1 + p2 * p2
+                   + C1 * C1 + C2 * C2)
+        if est > int(GLOBAL.get("KRON_WIDE_MAX_BYTES", 1 << 30)):
+            return None
     rng = rng if rng is not None else np.random.default_rng()
 
     fo = _kron_side(A, p2, C2, "out")
@@ -191,11 +229,20 @@ def kron_factored_keyed_conv(inshape, outshape, weight, bias, stride,
     Hmix = np.linalg.inv(G).T
 
     # published middle factors: Σ_t K̃_t ⊗ S̃_t == Σ_o (Q_outᵀk_oQ_in) ⊗ (E_outᵀT_oE_in)
-    S_hat = np.stack([(E_out.T @ (t @ E_in)).astype(np.float32) for t in taps])
+    # The tap mixer G is applied to the SPARSE taps before the dense mask
+    # products: S̃_mix[t] = E_outᵀ·(Σ_o G[t,o]·T_o)·E_in — one dense GEMM
+    # chain per mixed tap and no (T, p2, p1) unmixed intermediate (354 MB +
+    # a memory-bound tensordot at conv3 scale, ~16 s of first-touch pages).
+    # (mix the sparse taps in f64 — the G/Hmix cancellation must be exact to
+    # f64 so the mixer adds no tap-basis leakage beyond f32 rounding — then
+    # cast each mixed tap to f32 for the dense mask GEMMs)
+    S_mix = np.stack([
+        np.asarray(E_out.T @ (sum(G[t, o] * taps[o] for o in range(T))
+                              .astype(np.float32) @ E_in), dtype=np.float32)
+        for t in range(T)])
     # batched matmuls, NOT one naive einsum: "dc,tce,ef->tdf" unoptimized is
     # O(T·C2²·C1²) — 1.5e11 ops at conv4 (measured ~200 s); this is ~2 GFLOP
     K_hat = np.matmul(Q_out.T[None], np.matmul(k_taps, Q_in))
-    S_mix = np.tensordot(G, S_hat, axes=(1, 0)).astype(np.float32)
     K_mix = np.tensordot(Hmix, K_hat, axes=(1, 0)).astype(np.float32)
     m_bias = np.kron(Q_out.T @ bias, E_out.T @ np.ones(p2, dtype=np.float32))
 

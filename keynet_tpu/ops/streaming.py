@@ -126,30 +126,35 @@ def factor_left_identical(M, ps):
         if not (cnt == p).all():
             continue
         nblk = n // p
-        # feature rank inside each block
-        cw = (indices - (indices // p) * p).astype(np.float64)
-        s1 = np.add.reduceat(np.where(core_mask, data, 0.0), indptr[:n])
-        s2 = np.add.reduceat(np.where(core_mask, data * (cw + 1.0), 0.0), indptr[:n])
+        # feature rank inside each block (reuse one masked-values buffer: the
+        # where/tile temporaries here ran at the ~100 MB/s first-touch page
+        # rate and were 31 s of a 40 s conv3-scale split — CLAUDE.md)
+        core_vals = np.where(core_mask, data, 0.0)
+        s1 = np.add.reduceat(core_vals, indptr[:n])
+        core_vals *= indices % p + 1
+        s2 = np.add.reduceat(core_vals, indptr[:n])
+        del core_vals
         order = np.lexsort((bias, s2, s1, k_r, b))  # block-major, feature rank
         # exact verification: every block's (lengths, cols%p, values, bias)
-        # in rank order must equal block 0's
+        # in rank order must equal block 0's (broadcast against block 0 —
+        # never materialize tiled copies)
         ko = k_r[order]
-        if not np.array_equal(ko.reshape(nblk, p), np.tile(ko[:p], (nblk, 1))):
+        ko2 = ko.reshape(nblk, p)
+        if not (ko2[1:] == ko2[0]).all():
             continue
         # gather core entries of rows in sorted order
         tot = int(ko.sum())
         starts = indptr[:n][order]
         cum0 = np.concatenate([[0], np.cumsum(ko)[:-1]])
         ent_idx = np.repeat(starts - cum0, ko) + np.arange(tot)
-        cols_s = indices[ent_idx] - (indices[ent_idx] // p) * p
+        cols_s = indices[ent_idx] % p
         vals_s = data[ent_idx]
         per_blk = tot // nblk
-        if not (np.array_equal(cols_s.reshape(nblk, per_blk),
-                               np.tile(cols_s[:per_blk], (nblk, 1)))
-                and np.array_equal(vals_s.reshape(nblk, per_blk),
-                                   np.tile(vals_s[:per_blk], (nblk, 1)))
-                and np.array_equal(bias[order].reshape(nblk, p),
-                                   np.tile(bias[order[:p]], (nblk, 1)))):
+        cs = cols_s.reshape(nblk, per_blk)
+        vs = vals_s.reshape(nblk, per_blk)
+        bs = bias[order].reshape(nblk, p)
+        if not ((cs[1:] == cs[0]).all() and (vs[1:] == vs[0]).all()
+                and (bs[1:] == bs[0]).all()):
             continue
         g = np.empty(n, dtype=np.int64)
         g[order] = np.arange(n)

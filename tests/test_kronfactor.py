@@ -206,3 +206,46 @@ def test_kron_chain_keyed_model_end_to_end():
 def test_random_orthogonal():
     Q = random_orthogonal(33, np.random.default_rng(0))
     assert np.abs(Q @ Q.T - np.eye(33)).max() < 1e-5
+
+
+def test_kron_wide_range_whole_image_blocks():
+    """npix above KRON_NPIX_MAX engages only for keys whose block period
+    exceeds KRON_WIDE_PERIOD (whole-image blocks stream into pairwise-distinct
+    tiles — the stochastic VGG-224 conv3_1 case); small-period keys at the
+    same npix decline and keep the streamed Block-ELL path."""
+    rng = np.random.default_rng(5)
+    shape = (2, 12, 12)  # npix = 144
+    w = (rng.standard_normal((2, 2, 3, 3)) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(2) * 0.1).astype(np.float32)
+    # out key fine-period (6x6 tiles -> 36), in key whole-image (144): the in
+    # side trips the wide gate (mirrors conv3_1's p_out=196 / p_in=3136)
+    A, _ = keys.keygen(shape, seed=21, local_geometric="givens_orthogonal",
+                       alpha=8, blocksize=6)
+    _, Ainv = keys.keygen(shape, seed=22, local_geometric="givens_orthogonal",
+                          alpha=8, blocksize=12)
+    sentinel = object()
+    old_max = GLOBAL.get("KRON_NPIX_MAX", sentinel)
+    old_per = GLOBAL.get("KRON_WIDE_PERIOD", sentinel)
+    GLOBAL["KRON_NPIX_MAX"] = 64
+    GLOBAL["KRON_WIDE_PERIOD"] = 64
+    try:
+        op = kron_factored_keyed_conv(shape, shape, w, b, 1, A, Ainv,
+                                      rng=np.random.default_rng(23))
+        assert op is not None and isinstance(op, ChainedOp)
+        n = int(np.prod(shape))
+        x = rng.standard_normal(n + 1).astype(np.float32)
+        x[-1] = 1.0
+        ref = _sandwich(shape, shape, w, b, 1, A, Ainv, x)
+        got = np.asarray(op.apply(jnp.asarray(x[None])))[0]
+        assert np.abs(got - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+        # both sides fine-period at the same npix: decline the wide range
+        _, Ainv2 = keys.keygen(shape, seed=24, local_geometric="givens_orthogonal",
+                               alpha=8, blocksize=6)
+        assert kron_factored_keyed_conv(shape, shape, w, b, 1, A, Ainv2,
+                                        rng=np.random.default_rng(25)) is None
+    finally:
+        for k, v in (("KRON_NPIX_MAX", old_max), ("KRON_WIDE_PERIOD", old_per)):
+            if v is sentinel:
+                GLOBAL.pop(k, None)
+            else:
+                GLOBAL[k] = v
