@@ -45,7 +45,11 @@ try:
 
     pack_strip = _native.pack_strip
     tile_hashes = _native.tile_hashes
-    toeplitz_fill = getattr(_native, "toeplitz_fill", None)  # None: stale build
+    # newer symbols resolve to None on a stale build (numpy/older-path fallback)
+    toeplitz_fill = getattr(_native, "toeplitz_fill", None)
+    pack_strip_hash = getattr(_native, "pack_strip_hash", None)
+    take_tiles = getattr(_native, "take_tiles", None)
+    tile_hashes128 = getattr(_native, "tile_hashes128", None)
 except ImportError:  # pragma: no cover - exercised when ext is not built
     _native = None
 
@@ -55,3 +59,6 @@ except ImportError:  # pragma: no cover - exercised when ext is not built
     pack_strip = None
     tile_hashes = None
     toeplitz_fill = None
+    pack_strip_hash = None
+    take_tiles = None
+    tile_hashes128 = None

@@ -539,16 +539,25 @@ class StreamingBlockPacker:
     def _tile(self, tid):
         return self._chunks[tid // self._chunk][tid % self._chunk]
 
-    def _add_tile(self, tile):
+    def _reserve_tile(self):
+        """Allocate the next tile slot (content written by the caller)."""
         if self._n_tiles == len(self._chunks) * self._chunk:
             self._chunks.append(np.empty((self._chunk, self.TM, self.TN),
                                          dtype=np.float32))
-        self._chunks[self._n_tiles // self._chunk][self._n_tiles % self._chunk] = tile
         self._n_tiles += 1
         return self._n_tiles - 1
 
+    def _add_tile(self, tile):
+        tid = self._reserve_tile()
+        self._tile(tid)[...] = tile
+        return tid
+
     def _key(self, tile):
         if self._native is not None:
+            if self._native.tile_hashes128 is not None:
+                h = self._native.tile_hashes128(
+                    np.ascontiguousarray(tile[None], dtype=np.float32))
+                return (int(h[0, 0]), int(h[0, 1]))
             return int(self._native.tile_hashes(tile[None])[0])
         return self._hash(tile.tobytes())
 
@@ -564,9 +573,41 @@ class StreamingBlockPacker:
         cols = np.ascontiguousarray(cols, dtype=idt)
         vals = np.ascontiguousarray(vals, dtype=np.float32)
         self.nnz += len(vals)
+        if self._native is not None and self._native.pack_strip_hash is not None:
+            # one-pass C++ scatter into module-retained (warm) buffers +
+            # 128-bit content hash; tile content crosses back to python only
+            # for NEW uniques (take_tiles).  128-bit identity is trusted
+            # without a content compare — the same contract as the xxh3_128
+            # numpy fallback below (collision odds ~1e-26 per layer).
+            pairs, hashes, counts = self._native.pack_strip_hash(
+                rows, cols, vals, self.TM, self.TN, self.n_cb)
+            uniq = self._uniq
+            rb_slots, rb_entries = self._rb_slots, self._rb_slot_entries
+            n_cb = self.n_cb
+            h0 = hashes[:, 0].tolist()
+            h1 = hashes[:, 1].tolist()
+            pl = pairs.tolist()
+            cl = counts.tolist()
+            new = []  # (index into this strip's placed tiles, reserved tid)
+            for i in range(len(pl)):
+                key = (h0[i], h1[i])
+                tid = uniq.get(key)
+                if tid is None:
+                    tid = self._reserve_tile()
+                    uniq[key] = tid
+                    new.append((i, tid))
+                p = pl[i]
+                rb_slots[p // n_cb].append((p % n_cb, tid))
+                rb_entries[p // n_cb].append(cl[i])
+            if new:
+                got = self._native.take_tiles(
+                    np.asarray([i for i, _ in new], dtype=np.int64))
+                for j, (_, tid) in enumerate(new):
+                    self._tile(tid)[...] = got[j]
+            return
         if self._native is not None:
-            # single-pass C++ scatter + 64-bit content hash; hash hits are
-            # verified by content compare (collision -> new unique tile)
+            # stale-build path: C++ scatter + 64-bit content hash; hash hits
+            # are verified by content compare (collision -> new unique tile)
             placed_pairs, placed, entry_counts = self._native.pack_strip(
                 rows, cols, vals, self.TM, self.TN, self.n_cb)
             hashes = self._native.tile_hashes(placed)
