@@ -270,6 +270,24 @@ def _emit_perm_blockdiag_affine(gv, Binner, N, d=None, b=None, dtype=_DTYPE,
     data = np.empty(nnz, dtype=dtype)
     Bi = Binner.indices.astype(np.int64)
     Bd = Binner.data.astype(dtype, copy=False)
+    from . import native as _native
+    if _native.emit_pba_fill is not None and dtype == np.float64:
+        # one-pass C++ fill (bitwise-equal to the chunked numpy path below,
+        # which ran ~10 kernel passes over the ~3e8-entry result — 84 s at
+        # the (64,224,224) stochastic window vs memory-bandwidth here)
+        _native.emit_pba_fill(
+            src, Binner.indptr.astype(np.int64), Bi,
+            np.ascontiguousarray(Bd, dtype=np.float64),
+            None if d is None else np.ascontiguousarray(d, dtype=np.float64),
+            None if b is None else np.ascontiguousarray(b, dtype=np.float64),
+            indptr, indices, data)
+        indices[-1] = N
+        data[-1] = 1.0
+        M = scipy.sparse.csr_matrix((data, indices, indptr),
+                                    shape=(N + 1, N + 1))
+        if has_bias:
+            M.eliminate_zeros()               # rows whose bias dot is 0
+        return M
     # chunk by ENTRIES, not rows: dense inverse blocks put ~h nnz in every
     # row, so a row-count chunk would materialize multi-GB index temporaries
     chunk_rows = max(1024, int(chunk_entries // max(1, int(cnt.max()))))

@@ -50,6 +50,7 @@ try:
     pack_strip_hash = getattr(_native, "pack_strip_hash", None)
     take_tiles = getattr(_native, "take_tiles", None)
     tile_hashes128 = getattr(_native, "tile_hashes128", None)
+    emit_pba_fill = getattr(_native, "emit_pba_fill", None)
 except ImportError:  # pragma: no cover - exercised when ext is not built
     _native = None
 
@@ -62,3 +63,4 @@ except ImportError:  # pragma: no cover - exercised when ext is not built
     pack_strip_hash = None
     take_tiles = None
     tile_hashes128 = None
+    emit_pba_fill = None

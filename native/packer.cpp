@@ -346,6 +346,97 @@ PyObject* tile_hashes(PyObject*, PyObject* args) {
     return out;
 }
 
+// Fill loop for keys._emit_perm_blockdiag_affine: row i of the emitted CSR
+// is inner-block row (src[i] % h) placed at column offset src[i] - src[i]%h,
+// columns scaled by d, plus (when b is given) a bias entry sum_j v_j*b[col_j]
+// in the trailing slot of the row.  One pass at memory bandwidth — the numpy
+// version ran ~10 kernel passes (arange/repeat/gather/fancy-scatter) over
+// ~3e8 entries (84 s measured at the (64,224,224) stochastic window).
+// Entry order and f64 accumulation order match the numpy path bitwise.
+template <typename IDX>
+static void emit_pba_loop(const int64_t* src, int64_t N, const int64_t* Bp,
+                          const int64_t* Bi, const double* Bd, const double* d,
+                          const double* b, const int64_t* indptr, IDX* indices,
+                          double* data, int64_t h) {
+    for (int64_t i = 0; i < N; ++i) {
+        const int64_t r = src[i];
+        const int64_t rm = r % h;
+        const int64_t off = r - rm;
+        int64_t dst = indptr[i];
+        double acc = 0.0;
+        for (int64_t k = Bp[rm]; k < Bp[rm + 1]; ++k) {
+            const int64_t col = off + Bi[k];
+            double v = Bd[k];
+            if (b) acc += v * b[col];
+            if (d) v *= d[col];
+            indices[dst] = (IDX)col;
+            data[dst] = v;
+            ++dst;
+        }
+        if (b) {
+            indices[dst] = (IDX)N;
+            data[dst] = acc;
+        }
+    }
+}
+
+// emit_pba_fill(src int64[N], Bp int64[h+1], Bi int64[nb], Bd f64[nb],
+//               d f64[N+1]|None, b f64[N+1]|None, indptr int64[N+2],
+//               indices int32|int64[nnz] out, data f64[nnz] out) -> None
+PyObject* emit_pba_fill(PyObject*, PyObject* args) {
+    PyArrayObject *src_o, *bp_o, *bi_o, *bd_o, *indptr_o, *ind_o, *dat_o;
+    PyObject *d_obj, *b_obj;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!OOO!O!O!", &PyArray_Type, &src_o,
+                          &PyArray_Type, &bp_o, &PyArray_Type, &bi_o,
+                          &PyArray_Type, &bd_o, &d_obj, &b_obj,
+                          &PyArray_Type, &indptr_o, &PyArray_Type, &ind_o,
+                          &PyArray_Type, &dat_o))
+        return nullptr;
+    PyArrayObject* d_o = d_obj == Py_None ? nullptr : (PyArrayObject*)d_obj;
+    PyArrayObject* b_o = b_obj == Py_None ? nullptr : (PyArrayObject*)b_obj;
+    const int it = PyArray_TYPE(ind_o);
+    if (PyArray_TYPE(src_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(src_o) ||
+        PyArray_TYPE(bp_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(bp_o) ||
+        PyArray_TYPE(bi_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(bi_o) ||
+        PyArray_TYPE(bd_o) != NPY_FLOAT64 || !PyArray_IS_C_CONTIGUOUS(bd_o) ||
+        (d_o && (!PyArray_Check(d_o) || PyArray_TYPE(d_o) != NPY_FLOAT64 ||
+                 !PyArray_IS_C_CONTIGUOUS(d_o))) ||
+        (b_o && (!PyArray_Check(b_o) || PyArray_TYPE(b_o) != NPY_FLOAT64 ||
+                 !PyArray_IS_C_CONTIGUOUS(b_o))) ||
+        PyArray_TYPE(indptr_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(indptr_o) ||
+        (it != NPY_INT32 && it != NPY_INT64) || !PyArray_IS_C_CONTIGUOUS(ind_o) ||
+        PyArray_TYPE(dat_o) != NPY_FLOAT64 || !PyArray_IS_C_CONTIGUOUS(dat_o)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expect src/Bp/Bi/indptr int64, Bd/d/b float64, "
+                        "indices int32|int64, data float64 (contiguous)");
+        return nullptr;
+    }
+    const int64_t N = (int64_t)PyArray_SIZE(src_o);
+    const int64_t h = (int64_t)PyArray_SIZE(bp_o) - 1;
+    if (PyArray_SIZE(indptr_o) < N + 1 || h <= 0) {
+        PyErr_SetString(PyExc_ValueError, "indptr too small or empty block");
+        return nullptr;
+    }
+    const int64_t* src = (const int64_t*)PyArray_DATA(src_o);
+    const int64_t* Bp = (const int64_t*)PyArray_DATA(bp_o);
+    const int64_t* Bi = (const int64_t*)PyArray_DATA(bi_o);
+    const double* Bd = (const double*)PyArray_DATA(bd_o);
+    const double* d = d_o ? (const double*)PyArray_DATA(d_o) : nullptr;
+    const double* b = b_o ? (const double*)PyArray_DATA(b_o) : nullptr;
+    const int64_t* indptr = (const int64_t*)PyArray_DATA(indptr_o);
+    Py_BEGIN_ALLOW_THREADS
+    if (it == NPY_INT32)
+        emit_pba_loop<int32_t>(src, N, Bp, Bi, Bd, d, b, indptr,
+                               (int32_t*)PyArray_DATA(ind_o),
+                               (double*)PyArray_DATA(dat_o), h);
+    else
+        emit_pba_loop<int64_t>(src, N, Bp, Bi, Bd, d, b, indptr,
+                               (int64_t*)PyArray_DATA(ind_o),
+                               (double*)PyArray_DATA(dat_o), h);
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
 // Single-pass Toeplitz CSR emission for a requested set of output rows.
 // Replaces the multi-pass numpy broadcasting path (keynet_tpu/toeplitz.py
 // _rowmajor_block_csr): on the target VM, first-touch page faults on the
@@ -487,6 +578,8 @@ PyMethodDef methods[] = {
     {"tile_hashes128", tile_hashes128, METH_VARARGS,
      "128-bit content hash per tile"},
     {"tile_hashes", tile_hashes, METH_VARARGS, "content hash per tile"},
+    {"emit_pba_fill", emit_pba_fill, METH_VARARGS,
+     "one-pass fill of the perm-blockdiag-affine CSR emission"},
     {"toeplitz_fill", toeplitz_fill, METH_VARARGS,
      "single-pass CSR emission of requested Toeplitz conv rows"},
     {nullptr, nullptr, 0, nullptr},

@@ -18,7 +18,11 @@ setup(
             "keynet_tpu._native",
             sources=["native/packer.cpp"],
             include_dirs=[numpy.get_include()],
-            extra_compile_args=["-O3", "-std=c++17", "-march=native"],
+            # -ffp-contract=off: emit_pba_fill's bias accumulation must round
+            # like numpy (no FMA contraction) so the native and numpy
+            # emission paths stay bitwise-identical
+            extra_compile_args=["-O3", "-std=c++17", "-march=native",
+                                "-ffp-contract=off"],
             language="c++",
         )
     ],
