@@ -51,6 +51,7 @@ try:
     take_tiles = getattr(_native, "take_tiles", None)
     tile_hashes128 = getattr(_native, "tile_hashes128", None)
     emit_pba_fill = getattr(_native, "emit_pba_fill", None)
+    pack_csr_hash = getattr(_native, "pack_csr_hash", None)
 except ImportError:  # pragma: no cover - exercised when ext is not built
     _native = None
 
@@ -64,3 +65,4 @@ except ImportError:  # pragma: no cover - exercised when ext is not built
     take_tiles = None
     tile_hashes128 = None
     emit_pba_fill = None
+    pack_csr_hash = None

@@ -194,10 +194,12 @@ class BlockSparseOp(LinearOp):
             r1 = min(n_out, rb_end * TM)
             e0, e1 = indptr[r0], indptr[r1]
             if e1 > e0:
-                counts = np.diff(indptr[r0:r1 + 1])
-                rows = np.repeat(np.arange(r0, r1, dtype=np.int64), counts)
-                packer.add_strip(rows, A.indices[e0:e1].astype(np.int64),
-                                 A.data[e0:e1])
+                # CSR-direct chunk feed (no np.repeat row expansion)
+                Sc = scipy.sparse.csr_matrix(
+                    (A.data[e0:e1], A.indices[e0:e1],
+                     indptr[r0:r1 + 1].astype(np.int64) - int(e0)),
+                    shape=(r1 - r0, n_in))
+                packer.add_strip_csr(Sc, r0)
             rb = rb_end
         op = packer.finalize()
         return dict(tiles=np.asarray(op.tiles), tile_ids=np.asarray(op.tile_ids),
@@ -358,6 +360,25 @@ class BlockSparseOp(LinearOp):
             parts.append(y.reshape(B, -1))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
+    def _exec_on_tpu(self):
+        """Whether this op's apply will execute on a TPU: decided by the
+        TILES' device when known — during conversion the whole op pytree is
+        staged on the host CPU backend (system.py jax.default_device(cpu),
+        selfcheck applies run there eagerly) while jax.default_backend()
+        still reports 'tpu' under the axon plugin, so the backend alone is
+        the wrong signal (a Pallas kernel picked there crashes with 'Only
+        interpret mode is supported on CPU backend').  Falls back to the
+        default backend for traced applies (tracers have no .devices();
+        the forward program is built after the pytree is committed to the
+        accelerator)."""
+        try:
+            return next(iter(self.tiles.devices())).platform == "tpu"
+        except Exception:
+            try:
+                return jax.default_backend() == "tpu"
+            except Exception:
+                return False
+
     def _periodic_matvec_chunk(self, B, n_cols):
         """Batch chunk size for the tile-resident periodic kernel, or 0 to use
         the einsum path.  Requires TPU (or USE_PALLAS='always'), MXU tiles,
@@ -368,10 +389,7 @@ class BlockSparseOp(LinearOp):
         mode = GLOBAL.get("USE_PALLAS", "auto")
         if mode == "never" or self.period is None:
             return 0
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
+        on_tpu = self._exec_on_tpu()
         TM, TN = self.tileshape
         if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
             return 0
@@ -413,10 +431,7 @@ class BlockSparseOp(LinearOp):
         mode = GLOBAL.get("USE_PALLAS", "auto")
         if mode == "never":
             return False
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
+        on_tpu = self._exec_on_tpu()
         if not ((mode == "always") or (on_tpu and TM % 128 == 0 and TN % 128 == 0)):
             return False
         # VMEM budget: the kernel's scratch (NBUF x-blocks + NBUF tiles) and
@@ -561,6 +576,64 @@ class StreamingBlockPacker:
             return int(self._native.tile_hashes(tile[None])[0])
         return self._hash(tile.tobytes())
 
+    def _dedup_retained(self, packed):
+        """Dedup one strip's placed tiles from a native pack_*_hash result:
+        tile content stays in the C++ retained buffer; 128-bit hash identity
+        is trusted without a content compare (collision odds ~1e-26 per
+        layer — the same contract as the xxh3_128 numpy fallback), and only
+        NEW uniques cross back to python via take_tiles (~1% of placed)."""
+        pairs, hashes, counts = packed
+        uniq = self._uniq
+        rb_slots, rb_entries = self._rb_slots, self._rb_slot_entries
+        n_cb = self.n_cb
+        h0 = hashes[:, 0].tolist()
+        h1 = hashes[:, 1].tolist()
+        pl = pairs.tolist()
+        cl = counts.tolist()
+        new = []  # (index into this strip's placed tiles, reserved tid)
+        for i in range(len(pl)):
+            key = (h0[i], h1[i])
+            tid = uniq.get(key)
+            if tid is None:
+                tid = self._reserve_tile()
+                uniq[key] = tid
+                new.append((i, tid))
+            p = pl[i]
+            rb_slots[p // n_cb].append((p % n_cb, tid))
+            rb_entries[p // n_cb].append(cl[i])
+        if new:
+            got = self._native.take_tiles(
+                np.asarray([i for i, _ in new], dtype=np.int64))
+            for j, (_, tid) in enumerate(new):
+                self._tile(tid)[...] = got[j]
+
+    def add_strip_csr(self, S, r0=0, cpos=None):
+        """Feed one scipy CSR strip whose rows occupy final rows
+        [r0, r0 + S.shape[0]); ``cpos`` (int32, optional) relabels columns
+        (final col = cpos[strip col]).  The native path packs straight from
+        the CSR arrays — no COO row expansion and no row-offset/column-gather
+        temporaries (~3 extra nnz-sized passes per strip on the numpy feed).
+        Falls back to the COO add_strip when the native symbol is absent."""
+        nnz = int(S.indptr[-1])
+        if self._native is not None \
+                and self._native.pack_csr_hash is not None \
+                and S.indices.dtype == np.int32 \
+                and S.data.dtype == np.float32 \
+                and (cpos is None or cpos.dtype == np.int32):
+            if nnz == 0:
+                return
+            self.nnz += nnz
+            self._dedup_retained(self._native.pack_csr_hash(
+                np.ascontiguousarray(S.indptr, dtype=np.int64),
+                S.indices, S.data, int(r0),
+                cpos if cpos is None else np.ascontiguousarray(cpos),
+                self.TM, self.TN, self.n_cb))
+            return
+        C = S.tocoo(copy=False)
+        rows = C.row.astype(np.int32) + np.int32(r0)
+        cols = C.col if cpos is None else cpos[C.col]
+        self.add_strip(rows, cols.astype(np.int32, copy=False), C.data)
+
     def add_strip(self, rows, cols, vals):
         """rows/cols in final coordinates; (row, col) pairs must be unique,
         rows non-decreasing (row-sorted strips), and each row-block fed by
@@ -574,36 +647,8 @@ class StreamingBlockPacker:
         vals = np.ascontiguousarray(vals, dtype=np.float32)
         self.nnz += len(vals)
         if self._native is not None and self._native.pack_strip_hash is not None:
-            # one-pass C++ scatter into module-retained (warm) buffers +
-            # 128-bit content hash; tile content crosses back to python only
-            # for NEW uniques (take_tiles).  128-bit identity is trusted
-            # without a content compare — the same contract as the xxh3_128
-            # numpy fallback below (collision odds ~1e-26 per layer).
-            pairs, hashes, counts = self._native.pack_strip_hash(
-                rows, cols, vals, self.TM, self.TN, self.n_cb)
-            uniq = self._uniq
-            rb_slots, rb_entries = self._rb_slots, self._rb_slot_entries
-            n_cb = self.n_cb
-            h0 = hashes[:, 0].tolist()
-            h1 = hashes[:, 1].tolist()
-            pl = pairs.tolist()
-            cl = counts.tolist()
-            new = []  # (index into this strip's placed tiles, reserved tid)
-            for i in range(len(pl)):
-                key = (h0[i], h1[i])
-                tid = uniq.get(key)
-                if tid is None:
-                    tid = self._reserve_tile()
-                    uniq[key] = tid
-                    new.append((i, tid))
-                p = pl[i]
-                rb_slots[p // n_cb].append((p % n_cb, tid))
-                rb_entries[p // n_cb].append(cl[i])
-            if new:
-                got = self._native.take_tiles(
-                    np.asarray([i for i, _ in new], dtype=np.int64))
-                for j, (_, tid) in enumerate(new):
-                    self._tile(tid)[...] = got[j]
+            self._dedup_retained(self._native.pack_strip_hash(
+                rows, cols, vals, self.TM, self.TN, self.n_cb))
             return
         if self._native is not None:
             # stale-build path: C++ scatter + 64-bit content hash; hash hits

@@ -721,8 +721,10 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                     S = S + T
             else:
                 S = S @ Ainv32
-        S = S.tocoo(copy=False)  # consumed immediately; may alias pool buffers
-        packer.add_strip(S.row.astype(np.int32) + np.int32(r0), cpos[S.col], S.data)
+        # consumed immediately; may alias pool buffers.  CSR-direct feed: the
+        # row offset and the layout relabel gather happen inside the native
+        # pack (no nnz-sized row/col temporaries per strip).
+        packer.add_strip_csr(scipy.sparse.csr_matrix(S), r0, cpos)
 
     def pattern_of(rb0, nrb):
         return [tuple(sorted(packer._rb_slots[rb0 + i])) for i in range(nrb)]

@@ -110,6 +110,56 @@ static inline void hash128(const uint8_t* data, size_t n, uint64_t* out) {
     out[1] = fmix64(h2 + n);
 }
 
+// CSR-direct variant of the scatter: rows come from indptr (no COO row
+// expansion), the caller's row offset r0 and optional column relabel map
+// cpos apply inline — the python feed previously materialized
+// S.row + r0 and cpos[S.col] as ~nnz-sized temporaries per strip.
+template <bool POW2>
+static void pack_csr_loop(const int64_t* indptr, const int32_t* indices,
+                          const float* vals, int64_t n_rows, int64_t r0,
+                          const int32_t* cpos, int64_t TM, int64_t TN,
+                          int64_t n_cb, std::vector<int64_t>& pairs,
+                          std::vector<float>& tiles,
+                          std::vector<int64_t>& counts) {
+    const size_t tile_elems = (size_t)TM * (size_t)TN;
+    const int sm = POW2 ? __builtin_ctzll((uint64_t)TM) : 0;
+    const int sn = POW2 ? __builtin_ctzll((uint64_t)TN) : 0;
+    const int64_t mm = TM - 1, mn = TN - 1;
+    std::vector<int64_t> scratch((size_t)n_cb, -1);
+    std::vector<int64_t> touched;
+    int64_t cur_rb = -1;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        const int64_t r = r0 + i;
+        const int64_t rb = POW2 ? (r >> sm) : (r / TM);
+        if (rb != cur_rb) {
+            for (int64_t cb : touched) scratch[(size_t)cb] = -1;
+            touched.clear();
+            cur_rb = rb;
+        }
+        const int64_t rr = POW2 ? (r & mm) : (r % TM);
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int64_t c = cpos ? (int64_t)cpos[indices[k]]
+                                   : (int64_t)indices[k];
+            const int64_t cb = POW2 ? (c >> sn) : (c / TN);
+            int64_t idx = scratch[(size_t)cb];
+            if (idx < 0) {
+                idx = (int64_t)pairs.size();
+                scratch[(size_t)cb] = idx;
+                touched.push_back(cb);
+                pairs.push_back(rb * n_cb + cb);
+                counts.push_back(0);
+                if (tiles.size() + tile_elems > tiles.capacity())
+                    tiles.reserve(std::max(tiles.capacity() * 2,
+                                           tiles.size() + tile_elems));
+                tiles.resize(tiles.size() + tile_elems, 0.0f);
+            }
+            const int64_t cc = POW2 ? (c & mn) : (c % TN);
+            tiles[(size_t)idx * tile_elems + (size_t)rr * TN + cc] = vals[k];
+            counts[(size_t)idx] += 1;
+        }
+    }
+}
+
 // Module-retained buffers from the last pack_strip_hash call.  Protocol:
 // single-threaded packer; take_tiles() must read before the next
 // pack_strip_hash overwrites them.  Retention keeps the pages warm across
@@ -247,6 +297,72 @@ PyObject* pack_strip_hash(PyObject*, PyObject* args) {
     }
     Py_END_ALLOW_THREADS
 
+    const npy_intp P = (npy_intp)g_pairs.size();
+    npy_intp pd[1] = {P};
+    npy_intp hd[2] = {P, 2};
+    PyObject* pairs_arr = PyArray_SimpleNew(1, pd, NPY_INT64);
+    PyObject* hashes_arr = PyArray_SimpleNew(2, hd, NPY_UINT64);
+    PyObject* counts_arr = PyArray_SimpleNew(1, pd, NPY_INT64);
+    if (!pairs_arr || !hashes_arr || !counts_arr) return nullptr;
+    std::memcpy(PyArray_DATA((PyArrayObject*)pairs_arr), g_pairs.data(),
+                sizeof(int64_t) * (size_t)P);
+    std::memcpy(PyArray_DATA((PyArrayObject*)counts_arr), g_counts.data(),
+                sizeof(int64_t) * (size_t)P);
+    uint64_t* h = (uint64_t*)PyArray_DATA((PyArrayObject*)hashes_arr);
+    const uint8_t* base = (const uint8_t*)g_tiles.data();
+    const size_t tile_bytes = tile_elems * sizeof(float);
+    Py_BEGIN_ALLOW_THREADS
+    for (npy_intp i = 0; i < P; ++i)
+        hash128(base + (size_t)i * tile_bytes, tile_bytes, h + 2 * i);
+    Py_END_ALLOW_THREADS
+    return Py_BuildValue("(NNN)", pairs_arr, hashes_arr, counts_arr);
+}
+
+// pack_csr_hash(indptr int64[n+1], indices int32[nnz], data f32[nnz],
+//               r0, cpos int32[...]|None, TM, TN, n_cb) ->
+//   (pairs int64[P], hashes uint64[P, 2], counts int64[P])
+// CSR-direct pack_strip_hash: strip rows occupy final rows [r0, r0+n);
+// columns relabel through cpos when given.  Same retained-buffer protocol.
+PyObject* pack_csr_hash(PyObject*, PyObject* args) {
+    PyArrayObject *ip_o, *ix_o, *dt_o;
+    PyObject* cpos_obj;
+    long r0, TM, TN, n_cb;
+    if (!PyArg_ParseTuple(args, "O!O!O!lOlll", &PyArray_Type, &ip_o,
+                          &PyArray_Type, &ix_o, &PyArray_Type, &dt_o, &r0,
+                          &cpos_obj, &TM, &TN, &n_cb))
+        return nullptr;
+    PyArrayObject* cp_o = cpos_obj == Py_None ? nullptr
+                                              : (PyArrayObject*)cpos_obj;
+    if (PyArray_TYPE(ip_o) != NPY_INT64 || !PyArray_IS_C_CONTIGUOUS(ip_o) ||
+        PyArray_TYPE(ix_o) != NPY_INT32 || !PyArray_IS_C_CONTIGUOUS(ix_o) ||
+        PyArray_TYPE(dt_o) != NPY_FLOAT32 || !PyArray_IS_C_CONTIGUOUS(dt_o) ||
+        (cp_o && (!PyArray_Check(cp_o) || PyArray_TYPE(cp_o) != NPY_INT32 ||
+                  !PyArray_IS_C_CONTIGUOUS(cp_o)))) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expect indptr int64, indices int32, data f32, "
+                        "cpos int32|None (contiguous)");
+        return nullptr;
+    }
+    const int64_t n_rows = (int64_t)PyArray_SIZE(ip_o) - 1;
+    g_pairs.clear();
+    g_tiles.clear();
+    g_counts.clear();
+    g_TM = TM;
+    g_TN = TN;
+    const size_t tile_elems = (size_t)TM * (size_t)TN;
+    const bool pw2 = TM > 0 && TN > 0 && !(TM & (TM - 1)) && !(TN & (TN - 1));
+    const int64_t* ip = (const int64_t*)PyArray_DATA(ip_o);
+    const int32_t* ix = (const int32_t*)PyArray_DATA(ix_o);
+    const float* dt = (const float*)PyArray_DATA(dt_o);
+    const int32_t* cp = cp_o ? (const int32_t*)PyArray_DATA(cp_o) : nullptr;
+    Py_BEGIN_ALLOW_THREADS
+    if (pw2)
+        pack_csr_loop<true>(ip, ix, dt, n_rows, r0, cp, TM, TN, n_cb,
+                            g_pairs, g_tiles, g_counts);
+    else
+        pack_csr_loop<false>(ip, ix, dt, n_rows, r0, cp, TM, TN, n_cb,
+                             g_pairs, g_tiles, g_counts);
+    Py_END_ALLOW_THREADS
     const npy_intp P = (npy_intp)g_pairs.size();
     npy_intp pd[1] = {P};
     npy_intp hd[2] = {P, 2};
@@ -573,6 +689,8 @@ PyMethodDef methods[] = {
      "scatter a row-sorted COO strip into (pairs, dense tiles, entry counts)"},
     {"pack_strip_hash", pack_strip_hash, METH_VARARGS,
      "scatter a strip into retained tiles; return (pairs, 128-bit hashes, counts)"},
+    {"pack_csr_hash", pack_csr_hash, METH_VARARGS,
+     "CSR-direct pack_strip_hash with inline row offset and column relabel"},
     {"take_tiles", take_tiles, METH_VARARGS,
      "copy selected tiles out of the buffer retained by pack_strip_hash"},
     {"tile_hashes128", tile_hashes128, METH_VARARGS,

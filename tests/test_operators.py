@@ -472,3 +472,25 @@ def test_grouped_row_apply_matches_dense():
     # grouped path must survive a jit round trip (pytree flatten/unflatten)
     y_jit = np.asarray(jax.jit(lambda o, xx: o.apply(xx))(op, jnp.asarray(x)))
     assert np.abs(y_jit - y_ref).max() < 1e-4
+
+
+def test_pallas_gate_follows_tile_device(monkeypatch):
+    """Conversion stages the op pytree on the host CPU backend
+    (system.py jax.default_device(cpu)) while the axon TPU plugin still
+    reports jax.default_backend() == 'tpu'; the Pallas gates must follow the
+    TILES' actual device, not the backend.  Regression: the orth-VGG-224
+    pool2_2 selfcheck (Block-ELL spatial factor) crashed with 'Only
+    interpret mode is supported on CPU backend'."""
+    rng = np.random.default_rng(0)
+    A = scipy.sparse.random(256, 256, density=0.2, random_state=0,
+                            dtype=np.float32, format="csr")
+    op = BlockSparseOp.from_scipy(A, tileshape=(128, 128))
+    import jax
+    import jax.numpy as jnp
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not op._pallas_ok(8, 128, 128)        # tiles live on cpu
+    assert op._periodic_matvec_chunk(8, 256) == 0
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    y = np.asarray(op.apply(jnp.asarray(x)))     # einsum path, no crash
+    ref = x @ np.asarray(A.todense()).T
+    assert np.abs(y - ref).max() < 1e-4
