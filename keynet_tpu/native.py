@@ -52,6 +52,7 @@ try:
     tile_hashes128 = getattr(_native, "tile_hashes128", None)
     emit_pba_fill = getattr(_native, "emit_pba_fill", None)
     pack_csr_hash = getattr(_native, "pack_csr_hash", None)
+    spgemm_dr = getattr(_native, "spgemm_dr", None)
 except ImportError:  # pragma: no cover - exercised when ext is not built
     _native = None
 
@@ -66,3 +67,4 @@ except ImportError:  # pragma: no cover - exercised when ext is not built
     tile_hashes128 = None
     emit_pba_fill = None
     pack_csr_hash = None
+    spgemm_dr = None

@@ -462,6 +462,121 @@ PyObject* tile_hashes(PyObject*, PyObject* args) {
     return out;
 }
 
+// spgemm_dr: one-pass S·diag(d) + S·R for the dense-inverse dR split
+// (streaming.compute_strip): for each stored entry (i, c, v) of S, emit
+// (i, c, v·d[c]) plus (i, k, v·R[c,k]) for R row c, merged per output row
+// with a stamped scratch accumulator (union support preserved — explicit
+// zeros stay stored, matching scipy's S+T).  Output rows are emitted in
+// first-touch column order (the Block-ELL packer does not need sorted
+// columns).  Outputs go into caller-pooled buffers (warm pages across
+// strips); returns -1 if capacity is exceeded (caller allocates the exact
+// upper bound, so that is a programming error, not a retry path).
+static int64_t spgemm_dr_loop(const int64_t* Sp, const int32_t* Si,
+                              const float* Sd, const float* d,
+                              const int64_t* Rp, const int32_t* Ri,
+                              const float* Rd, int64_t n_rows, int64_t m,
+                              int64_t cap, int64_t* op, int32_t* oi,
+                              float* od) {
+    static std::vector<float> acc;
+    static std::vector<int64_t> stamp;
+    static std::vector<int32_t> order;
+    if ((int64_t)acc.size() < m) {
+        acc.assign((size_t)m, 0.0f);
+        stamp.assign((size_t)m, -1);
+    }
+    static int64_t epoch = 0;
+    int64_t pos = 0;
+    op[0] = 0;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        ++epoch;
+        order.clear();
+        for (int64_t e = Sp[i]; e < Sp[i + 1]; ++e) {
+            const int32_t c = Si[e];
+            const float v = Sd[e];
+            if (stamp[(size_t)c] != epoch) {
+                stamp[(size_t)c] = epoch;
+                acc[(size_t)c] = v * d[c];
+                order.push_back(c);
+            } else {
+                acc[(size_t)c] += v * d[c];
+            }
+            for (int64_t k = Rp[c]; k < Rp[c + 1]; ++k) {
+                const int32_t rc = Ri[k];
+                const float rv = v * Rd[k];
+                if (stamp[(size_t)rc] != epoch) {
+                    stamp[(size_t)rc] = epoch;
+                    acc[(size_t)rc] = rv;
+                    order.push_back(rc);
+                } else {
+                    acc[(size_t)rc] += rv;
+                }
+            }
+        }
+        if (pos + (int64_t)order.size() > cap) return -1;
+        for (const int32_t c : order) {
+            oi[pos] = c;
+            od[pos] = acc[(size_t)c];
+            ++pos;
+        }
+        op[i + 1] = pos;
+    }
+    return pos;
+}
+
+// spgemm_dr(S_ip int64[n+1], S_ix int32, S_dx f32, d f32[m],
+//           R_ip int64[m+1], R_ix int32, R_dx f32,
+//           out_ip int64[n+1], out_ix int32[cap], out_dx f32[cap]) -> nnz
+PyObject* spgemm_dr(PyObject*, PyObject* args) {
+    PyArrayObject *sp_o, *si_o, *sd_o, *d_o, *rp_o, *ri_o, *rd_o,
+        *op_o, *oi_o, *od_o;
+    if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!O!O!",
+                          &PyArray_Type, &sp_o, &PyArray_Type, &si_o,
+                          &PyArray_Type, &sd_o, &PyArray_Type, &d_o,
+                          &PyArray_Type, &rp_o, &PyArray_Type, &ri_o,
+                          &PyArray_Type, &rd_o, &PyArray_Type, &op_o,
+                          &PyArray_Type, &oi_o, &PyArray_Type, &od_o))
+        return nullptr;
+    if (PyArray_TYPE(sp_o) != NPY_INT64 || PyArray_TYPE(si_o) != NPY_INT32 ||
+        PyArray_TYPE(sd_o) != NPY_FLOAT32 || PyArray_TYPE(d_o) != NPY_FLOAT32 ||
+        PyArray_TYPE(rp_o) != NPY_INT64 || PyArray_TYPE(ri_o) != NPY_INT32 ||
+        PyArray_TYPE(rd_o) != NPY_FLOAT32 || PyArray_TYPE(op_o) != NPY_INT64 ||
+        PyArray_TYPE(oi_o) != NPY_INT32 || PyArray_TYPE(od_o) != NPY_FLOAT32 ||
+        !PyArray_IS_C_CONTIGUOUS(sp_o) || !PyArray_IS_C_CONTIGUOUS(si_o) ||
+        !PyArray_IS_C_CONTIGUOUS(sd_o) || !PyArray_IS_C_CONTIGUOUS(d_o) ||
+        !PyArray_IS_C_CONTIGUOUS(rp_o) || !PyArray_IS_C_CONTIGUOUS(ri_o) ||
+        !PyArray_IS_C_CONTIGUOUS(rd_o) || !PyArray_IS_C_CONTIGUOUS(op_o) ||
+        !PyArray_IS_C_CONTIGUOUS(oi_o) || !PyArray_IS_C_CONTIGUOUS(od_o)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "expect int64 indptrs, int32 indices, f32 data/d "
+                        "(all contiguous)");
+        return nullptr;
+    }
+    const int64_t n_rows = (int64_t)PyArray_SIZE(sp_o) - 1;
+    const int64_t m = (int64_t)PyArray_SIZE(d_o);
+    if ((int64_t)PyArray_SIZE(rp_o) != m + 1 ||
+        (int64_t)PyArray_SIZE(op_o) < n_rows + 1) {
+        PyErr_SetString(PyExc_ValueError, "R indptr / out indptr size mismatch");
+        return nullptr;
+    }
+    const int64_t cap = std::min((int64_t)PyArray_SIZE(oi_o),
+                                 (int64_t)PyArray_SIZE(od_o));
+    int64_t nnz = 0;
+    Py_BEGIN_ALLOW_THREADS
+    nnz = spgemm_dr_loop(
+        (const int64_t*)PyArray_DATA(sp_o), (const int32_t*)PyArray_DATA(si_o),
+        (const float*)PyArray_DATA(sd_o), (const float*)PyArray_DATA(d_o),
+        (const int64_t*)PyArray_DATA(rp_o), (const int32_t*)PyArray_DATA(ri_o),
+        (const float*)PyArray_DATA(rd_o), n_rows, m, cap,
+        (int64_t*)PyArray_DATA(op_o), (int32_t*)PyArray_DATA(oi_o),
+        (float*)PyArray_DATA(od_o));
+    Py_END_ALLOW_THREADS
+    if (nnz < 0) {
+        PyErr_SetString(PyExc_ValueError, "spgemm_dr capacity exceeded");
+        return nullptr;
+    }
+    return PyLong_FromLongLong((long long)nnz);
+}
+
 // Fill loop for keys._emit_perm_blockdiag_affine: row i of the emitted CSR
 // is inner-block row (src[i] % h) placed at column offset src[i] - src[i]%h,
 // columns scaled by d, plus (when b is given) a bias entry sum_j v_j*b[col_j]
@@ -698,6 +813,8 @@ PyMethodDef methods[] = {
     {"tile_hashes", tile_hashes, METH_VARARGS, "content hash per tile"},
     {"emit_pba_fill", emit_pba_fill, METH_VARARGS,
      "one-pass fill of the perm-blockdiag-affine CSR emission"},
+    {"spgemm_dr", spgemm_dr, METH_VARARGS,
+     "one-pass S*diag(d) + S*R into caller-pooled CSR buffers"},
     {"toeplitz_fill", toeplitz_fill, METH_VARARGS,
      "single-pass CSR emission of requested Toeplitz conv rows"},
     {nullptr, nullptr, 0, nullptr},

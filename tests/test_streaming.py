@@ -337,3 +337,41 @@ def test_masked_conversion_is_seed_reproducible():
                                  rng=np.random.default_rng(21))
     assert (R1 != R2).nnz == 0
     assert np.array_equal(np.asarray(f1.F), np.asarray(f2.F))
+
+
+def test_native_spgemm_dr_matches_scipy():
+    """The fused native S·diag(d) + S·R (compute_strip's dR split) must match
+    the scipy two-step (values and canonical union support, explicit zeros
+    preserved); skipped when the extension is absent."""
+    from keynet_tpu import native
+    if native.spgemm_dr is None:
+        import pytest
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(3)
+    n, m = 150, 260
+    S = scipy.sparse.random(n, m, density=0.12, random_state=5,
+                            dtype=np.float32).tocsr()
+    S.indices = S.indices.astype(np.int32)
+    d = rng.standard_normal(m).astype(np.float32)
+    R = scipy.sparse.random(m, m, density=0.04, random_state=11,
+                            dtype=np.float32).tocsr()
+    R.setdiag(0)
+    R.eliminate_zeros()
+    R.indices = R.indices.astype(np.int32)
+    bound = int((1 + np.diff(R.indptr)[S.indices].astype(np.int64)).sum())
+    ip = np.empty(n + 1, np.int64)
+    ix = np.empty(bound, np.int32)
+    dx = np.empty(bound, np.float32)
+    nnz = native.spgemm_dr(S.indptr.astype(np.int64), S.indices, S.data, d,
+                           R.indptr.astype(np.int64), R.indices, R.data,
+                           ip, ix, dx)
+    got = scipy.sparse.csr_matrix((dx[:nnz].copy(), ix[:nnz].copy(),
+                                   ip[:n + 1].copy()), shape=(n, m))
+    ref = scipy.sparse.csr_matrix(S, copy=True)
+    T = S @ R
+    ref.data = ref.data * d[ref.indices]
+    ref = ref + T
+    assert np.abs((got - ref).toarray()).max() < 2e-6
+    got.sum_duplicates()
+    got.sort_indices()
+    assert got.nnz == ref.nnz  # union support incl. explicit zeros
