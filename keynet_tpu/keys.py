@@ -335,6 +335,8 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
     assert local_geometric in ALLOWABLE_LOCAL_GEOMETRIC
     assert global_photometric in ALLOWABLE_PHOTOMETRIC
     assert local_photometric in ALLOWABLE_PHOTOMETRIC
+    from .globals import _madvise_heap_hugepages
+    _madvise_heap_hugepages()  # THP-back heap VMAs grown since import
 
     channels, height, width = shape
     N = int(np.prod(shape))
