@@ -682,6 +682,13 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
                 dR32 = np.ascontiguousarray(dR, dtype=np.float32)
                 _R_indptr = np.ascontiguousarray(R32.indptr, dtype=np.int64)
                 _R_rownnz = np.diff(R32.indptr).astype(np.int64)
+        if dR is None:
+            # diag split does not pay (masked inner keys are permuted block
+            # mixes with near-zero diagonal): plain native S·Ainv product
+            # through the same scratch-accumulator kernel, dR32=None
+            R32 = Ainv32
+            _R_indptr = np.ascontiguousarray(R32.indptr, dtype=np.int64)
+            _R_rownnz = np.diff(R32.indptr).astype(np.int64)
 
     def compute_strip(rb0, nrb):
         r0 = rb0 * TM
@@ -718,46 +725,50 @@ def keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
             needed = np.unique(A_strip.indices)
             S = A_strip[:, needed] @ _W_rows(needed)
         if not Ainv_ident:
-            if dR is not None:
-                S = scipy.sparse.csr_matrix(S, copy=False)
-                if _native.spgemm_dr is not None \
-                        and S.indices.dtype == np.int32 \
-                        and R32.indices.dtype == np.int32 \
-                        and R32.data.dtype == np.float32:
-                    # fused S·D' + S·R in one native scratch-accumulator pass
-                    # into pooled (warm) buffers — the scipy spgemm + add was
-                    # the dominant strip cost once packing went one-pass
-                    # (~150 s of conv2_1's 183 s; union support preserved
-                    # like scipy's S+T, explicit zeros stay stored)
-                    bound = int(S.nnz) if not R32.nnz else int(
-                        (1 + _R_rownnz[S.indices].astype(np.int64)).sum())
-                    if dr_pool.get("cap", 0) < bound:
-                        dr_pool["ix"] = np.empty(bound, dtype=np.int32)
-                        dr_pool["dx"] = np.empty(bound, dtype=np.float32)
-                        dr_pool["cap"] = bound
-                    n_rows_s = S.shape[0]
-                    if dr_pool.get("ip_n", -1) < n_rows_s + 1:
-                        dr_pool["ip"] = np.empty(
-                            max(n_rows_s + 1, 1 + rb_per_strip * TM),
-                            dtype=np.int64)
-                        dr_pool["ip_n"] = len(dr_pool["ip"])
-                    nnz_out = _native.spgemm_dr(
-                        np.ascontiguousarray(S.indptr, dtype=np.int64),
-                        S.indices, np.ascontiguousarray(S.data,
-                                                        dtype=np.float32),
-                        dR32, _R_indptr, R32.indices, R32.data,
-                        dr_pool["ip"], dr_pool["ix"], dr_pool["dx"])
-                    S = scipy.sparse.csr_matrix(
-                        (dr_pool["dx"][:nnz_out], dr_pool["ix"][:nnz_out],
-                         dr_pool["ip"][:n_rows_s + 1]),
-                        shape=S.shape, copy=False)
-                else:
-                    T = S @ R32 if R32.nnz else None
-                    S = scipy.sparse.csr_matrix(S,
-                                                copy=(S.data.base is not None))
-                    S.data *= dR[S.indices]     # S·D' column scaling
-                    if T is not None:
-                        S = S + T
+            S = scipy.sparse.csr_matrix(S, copy=False)
+            if _native.spgemm_dr is not None \
+                    and S.indices.dtype == np.int32 \
+                    and R32.indices.dtype == np.int32 \
+                    and R32.data.dtype == np.float32:
+                # fused S·D' + S·R (dR given) or plain S·Ainv (dR None) in one
+                # native scratch-accumulator pass into pooled (warm) buffers —
+                # the scipy spgemm (+ add) was the dominant strip cost once
+                # packing went one-pass (~150 s of conv2_1's 183 s for the
+                # dR split; ~276 s for the plain masked-inner-key product;
+                # union support preserved like scipy's S+T, explicit zeros
+                # stay stored)
+                base = int(S.nnz) if dR is not None else 0
+                bound = base if not R32.nnz else base + int(
+                    _R_rownnz[S.indices].astype(np.int64).sum())
+                bound = max(bound, 1)
+                if dr_pool.get("cap", 0) < bound:
+                    dr_pool["ix"] = np.empty(bound, dtype=np.int32)
+                    dr_pool["dx"] = np.empty(bound, dtype=np.float32)
+                    dr_pool["cap"] = bound
+                n_rows_s = S.shape[0]
+                if dr_pool.get("ip_n", -1) < n_rows_s + 1:
+                    dr_pool["ip"] = np.empty(
+                        max(n_rows_s + 1, 1 + rb_per_strip * TM),
+                        dtype=np.int64)
+                    dr_pool["ip_n"] = len(dr_pool["ip"])
+                nnz_out = _native.spgemm_dr(
+                    np.ascontiguousarray(S.indptr, dtype=np.int64),
+                    S.indices, np.ascontiguousarray(S.data,
+                                                    dtype=np.float32),
+                    dR32 if dR is not None else None,
+                    _R_indptr, R32.indices, R32.data,
+                    dr_pool["ip"], dr_pool["ix"], dr_pool["dx"])
+                S = scipy.sparse.csr_matrix(
+                    (dr_pool["dx"][:nnz_out], dr_pool["ix"][:nnz_out],
+                     dr_pool["ip"][:n_rows_s + 1]),
+                    shape=(n_rows_s, Ainv32.shape[1]), copy=False)
+            elif dR is not None:
+                T = S @ R32 if R32.nnz else None
+                S = scipy.sparse.csr_matrix(S,
+                                            copy=(S.data.base is not None))
+                S.data *= dR[S.indices]     # S·D' column scaling
+                if T is not None:
+                    S = S + T
             else:
                 S = S @ Ainv32
         # consumed immediately; may alias pool buffers.  CSR-direct feed: the

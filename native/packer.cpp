@@ -93,21 +93,44 @@ static inline uint64_t fmix64(uint64_t k) {
 }
 
 static inline void hash128(const uint8_t* data, size_t n, uint64_t* out) {
-    uint64_t h1 = 1469598103934665603ull;    // FNV-1a offset basis
-    uint64_t h2 = 0x9e3779b97f4a7c15ull;     // golden-ratio offset
-    const size_t nw = n / 8;
-    uint64_t w;
-    for (size_t i = 0; i < nw; ++i) {
-        std::memcpy(&w, data + 8 * i, 8);
-        h1 = (h1 ^ w) * 1099511628211ull;
-        h2 = (h2 ^ w) * 0x2545f4914f6cdd1dull;
+    // Four independent xor-multiply lanes over 32-byte groups: the previous
+    // single-stream FNV pair was latency-chained (one 5-cycle multiply per
+    // 8 bytes -> ~2.5 GB/s), and hashing every placed 64 KB tile was the
+    // dominant pack cost at VGG-224 masked-conv scale (~400 GB of tile bytes
+    // per conversion).  Independent lanes run at the multiplier's throughput
+    // instead of its latency; the lanes are cross-mixed and avalanched into
+    // the 128-bit result, preserving the trusted-hash contract (collision
+    // probability across ~1e6 placed tiles ~1e-26 on non-adversarial data).
+    uint64_t h0 = 1469598103934665603ull;    // FNV-1a offset basis
+    uint64_t h1 = 0x9e3779b97f4a7c15ull;     // golden-ratio offset
+    uint64_t h2 = 0xc2b2ae3d27d4eb4full;     // xxh64 prime2
+    uint64_t h3 = 0x165667b19e3779f9ull;     // xxh64 prime5
+    size_t i = 0;
+    uint64_t w0, w1, w2, w3;
+    for (; i + 32 <= n; i += 32) {
+        std::memcpy(&w0, data + i, 8);
+        std::memcpy(&w1, data + i + 8, 8);
+        std::memcpy(&w2, data + i + 16, 8);
+        std::memcpy(&w3, data + i + 24, 8);
+        h0 = (h0 ^ w0) * 1099511628211ull;
+        h1 = (h1 ^ w1) * 0x2545f4914f6cdd1dull;
+        h2 = (h2 ^ w2) * 0x9e6c63d0a161e2c5ull;
+        h3 = (h3 ^ w3) * 0xff51afd7ed558ccdull;
     }
-    for (size_t i = nw * 8; i < n; ++i) {    // tail (tiles are 8B multiples)
-        h1 = (h1 ^ data[i]) * 1099511628211ull;
-        h2 = (h2 ^ data[i]) * 0x2545f4914f6cdd1dull;
+    for (; i + 8 <= n; i += 8) {
+        std::memcpy(&w0, data + i, 8);
+        h0 = (h0 ^ w0) * 1099511628211ull;
+        h1 = (h1 ^ w0) * 0x2545f4914f6cdd1dull;
     }
-    out[0] = fmix64(h1 ^ n);
-    out[1] = fmix64(h2 + n);
+    for (; i < n; ++i) {                     // tail (tiles are 8B multiples)
+        h0 = (h0 ^ data[i]) * 1099511628211ull;
+        h1 = (h1 ^ data[i]) * 0x2545f4914f6cdd1dull;
+    }
+    // cross-mix so each output word depends on all four lanes
+    const uint64_t a = (h0 + fmix64(h2)) ^ (h1 * 0xc4ceb9fe1a85ec53ull);
+    const uint64_t b = (h1 + fmix64(h3)) ^ (h2 * 0x9e3779b97f4a7c15ull);
+    out[0] = fmix64(a ^ n);
+    out[1] = fmix64(b + n + h0);
 }
 
 // CSR-direct variant of the scatter: rows come from indptr (no COO row
@@ -471,18 +494,24 @@ PyObject* tile_hashes(PyObject*, PyObject* args) {
 // columns).  Outputs go into caller-pooled buffers (warm pages across
 // strips); returns -1 if capacity is exceeded (caller allocates the exact
 // upper bound, so that is a programming error, not a retry path).
+// WITH_D=false computes the plain product S·R (no diagonal term): the same
+// scratch-accumulator pass serves masked streamed convs whose inner right key
+// is a permuted block mix with (near-)zero diagonal — there the d+R split
+// does not apply and the scipy spgemm this replaces was the dominant strip
+// cost (~276 s of a stochastic VGG-224 conv2_1).
+template <bool WITH_D>
 static int64_t spgemm_dr_loop(const int64_t* Sp, const int32_t* Si,
                               const float* Sd, const float* d,
                               const int64_t* Rp, const int32_t* Ri,
                               const float* Rd, int64_t n_rows, int64_t m,
-                              int64_t cap, int64_t* op, int32_t* oi,
-                              float* od) {
+                              int64_t n_cols, int64_t cap, int64_t* op,
+                              int32_t* oi, float* od) {
     static std::vector<float> acc;
     static std::vector<int64_t> stamp;
     static std::vector<int32_t> order;
-    if ((int64_t)acc.size() < m) {
-        acc.assign((size_t)m, 0.0f);
-        stamp.assign((size_t)m, -1);
+    if ((int64_t)acc.size() < n_cols) {
+        acc.assign((size_t)n_cols, 0.0f);
+        stamp.assign((size_t)n_cols, -1);
     }
     static int64_t epoch = 0;
     int64_t pos = 0;
@@ -493,15 +522,18 @@ static int64_t spgemm_dr_loop(const int64_t* Sp, const int32_t* Si,
         for (int64_t e = Sp[i]; e < Sp[i + 1]; ++e) {
             const int32_t c = Si[e];
             const float v = Sd[e];
-            if (stamp[(size_t)c] != epoch) {
-                stamp[(size_t)c] = epoch;
-                acc[(size_t)c] = v * d[c];
-                order.push_back(c);
-            } else {
-                acc[(size_t)c] += v * d[c];
+            if (WITH_D) {
+                if (stamp[(size_t)c] != epoch) {
+                    stamp[(size_t)c] = epoch;
+                    acc[(size_t)c] = v * d[c];
+                    order.push_back(c);
+                } else {
+                    acc[(size_t)c] += v * d[c];
+                }
             }
             for (int64_t k = Rp[c]; k < Rp[c + 1]; ++k) {
                 const int32_t rc = Ri[k];
+                if ((int64_t)rc >= n_cols) return -2;  // out of output range
                 const float rv = v * Rd[k];
                 if (stamp[(size_t)rc] != epoch) {
                     stamp[(size_t)rc] = epoch;
@@ -523,36 +555,42 @@ static int64_t spgemm_dr_loop(const int64_t* Sp, const int32_t* Si,
     return pos;
 }
 
-// spgemm_dr(S_ip int64[n+1], S_ix int32, S_dx f32, d f32[m],
+// spgemm_dr(S_ip int64[n+1], S_ix int32, S_dx f32, d f32[m]|None,
 //           R_ip int64[m+1], R_ix int32, R_dx f32,
 //           out_ip int64[n+1], out_ix int32[cap], out_dx f32[cap]) -> nnz
+// d=None computes the plain product S·R.
 PyObject* spgemm_dr(PyObject*, PyObject* args) {
-    PyArrayObject *sp_o, *si_o, *sd_o, *d_o, *rp_o, *ri_o, *rd_o,
+    PyArrayObject *sp_o, *si_o, *sd_o, *rp_o, *ri_o, *rd_o,
         *op_o, *oi_o, *od_o;
-    if (!PyArg_ParseTuple(args, "O!O!O!O!O!O!O!O!O!O!",
+    PyObject* d_obj;
+    if (!PyArg_ParseTuple(args, "O!O!O!OO!O!O!O!O!O!",
                           &PyArray_Type, &sp_o, &PyArray_Type, &si_o,
-                          &PyArray_Type, &sd_o, &PyArray_Type, &d_o,
+                          &PyArray_Type, &sd_o, &d_obj,
                           &PyArray_Type, &rp_o, &PyArray_Type, &ri_o,
                           &PyArray_Type, &rd_o, &PyArray_Type, &op_o,
                           &PyArray_Type, &oi_o, &PyArray_Type, &od_o))
         return nullptr;
+    PyArrayObject* d_o = d_obj == Py_None ? nullptr : (PyArrayObject*)d_obj;
     if (PyArray_TYPE(sp_o) != NPY_INT64 || PyArray_TYPE(si_o) != NPY_INT32 ||
-        PyArray_TYPE(sd_o) != NPY_FLOAT32 || PyArray_TYPE(d_o) != NPY_FLOAT32 ||
+        PyArray_TYPE(sd_o) != NPY_FLOAT32 ||
+        (d_o && (!PyArray_Check(d_o) || PyArray_TYPE(d_o) != NPY_FLOAT32 ||
+                 !PyArray_IS_C_CONTIGUOUS(d_o))) ||
         PyArray_TYPE(rp_o) != NPY_INT64 || PyArray_TYPE(ri_o) != NPY_INT32 ||
         PyArray_TYPE(rd_o) != NPY_FLOAT32 || PyArray_TYPE(op_o) != NPY_INT64 ||
         PyArray_TYPE(oi_o) != NPY_INT32 || PyArray_TYPE(od_o) != NPY_FLOAT32 ||
         !PyArray_IS_C_CONTIGUOUS(sp_o) || !PyArray_IS_C_CONTIGUOUS(si_o) ||
-        !PyArray_IS_C_CONTIGUOUS(sd_o) || !PyArray_IS_C_CONTIGUOUS(d_o) ||
+        !PyArray_IS_C_CONTIGUOUS(sd_o) ||
         !PyArray_IS_C_CONTIGUOUS(rp_o) || !PyArray_IS_C_CONTIGUOUS(ri_o) ||
         !PyArray_IS_C_CONTIGUOUS(rd_o) || !PyArray_IS_C_CONTIGUOUS(op_o) ||
         !PyArray_IS_C_CONTIGUOUS(oi_o) || !PyArray_IS_C_CONTIGUOUS(od_o)) {
         PyErr_SetString(PyExc_TypeError,
                         "expect int64 indptrs, int32 indices, f32 data/d "
-                        "(all contiguous)");
+                        "(all contiguous; d may be None)");
         return nullptr;
     }
     const int64_t n_rows = (int64_t)PyArray_SIZE(sp_o) - 1;
-    const int64_t m = (int64_t)PyArray_SIZE(d_o);
+    const int64_t m = d_o ? (int64_t)PyArray_SIZE(d_o)
+                          : (int64_t)PyArray_SIZE(rp_o) - 1;
     if ((int64_t)PyArray_SIZE(rp_o) != m + 1 ||
         (int64_t)PyArray_SIZE(op_o) < n_rows + 1) {
         PyErr_SetString(PyExc_ValueError, "R indptr / out indptr size mismatch");
@@ -562,14 +600,20 @@ PyObject* spgemm_dr(PyObject*, PyObject* args) {
                                  (int64_t)PyArray_SIZE(od_o));
     int64_t nnz = 0;
     Py_BEGIN_ALLOW_THREADS
-    nnz = spgemm_dr_loop(
+    nnz = (d_o ? spgemm_dr_loop<true> : spgemm_dr_loop<false>)(
         (const int64_t*)PyArray_DATA(sp_o), (const int32_t*)PyArray_DATA(si_o),
-        (const float*)PyArray_DATA(sd_o), (const float*)PyArray_DATA(d_o),
+        (const float*)PyArray_DATA(sd_o),
+        d_o ? (const float*)PyArray_DATA(d_o) : nullptr,
         (const int64_t*)PyArray_DATA(rp_o), (const int32_t*)PyArray_DATA(ri_o),
-        (const float*)PyArray_DATA(rd_o), n_rows, m, cap,
+        (const float*)PyArray_DATA(rd_o), n_rows, m, /*n_cols=*/m, cap,
         (int64_t*)PyArray_DATA(op_o), (int32_t*)PyArray_DATA(oi_o),
         (float*)PyArray_DATA(od_o));
     Py_END_ALLOW_THREADS
+    if (nnz == -2) {
+        PyErr_SetString(PyExc_ValueError,
+                        "spgemm_dr: R column index out of range (R must be square)");
+        return nullptr;
+    }
     if (nnz < 0) {
         PyErr_SetString(PyExc_ValueError, "spgemm_dr capacity exceeded");
         return nullptr;

@@ -375,3 +375,30 @@ def test_native_spgemm_dr_matches_scipy():
     got.sum_duplicates()
     got.sort_indices()
     assert got.nnz == ref.nnz  # union support incl. explicit zeros
+
+
+def test_native_spgemm_dr_plain_product_matches_scipy():
+    """d=None computes the plain S·R (the masked inner-key path where the
+    diagonal split does not pay); values and support must match scipy."""
+    from keynet_tpu import native
+    if native.spgemm_dr is None:
+        import pytest
+        pytest.skip("native extension not built")
+    n, m = 130, 240
+    S = scipy.sparse.random(n, m, density=0.10, random_state=7,
+                            dtype=np.float32).tocsr()
+    S.indices = S.indices.astype(np.int32)
+    R = scipy.sparse.random(m, m, density=0.05, random_state=13,
+                            dtype=np.float32).tocsr()
+    R.indices = R.indices.astype(np.int32)
+    bound = max(int(np.diff(R.indptr)[S.indices].astype(np.int64).sum()), 1)
+    ip = np.empty(n + 1, np.int64)
+    ix = np.empty(bound, np.int32)
+    dx = np.empty(bound, np.float32)
+    nnz = native.spgemm_dr(S.indptr.astype(np.int64), S.indices, S.data, None,
+                           R.indptr.astype(np.int64), R.indices, R.data,
+                           ip, ix, dx)
+    got = scipy.sparse.csr_matrix((dx[:nnz].copy(), ix[:nnz].copy(),
+                                   ip[:n + 1].copy()), shape=(n, m))
+    ref = S @ R
+    assert np.abs((got - ref).toarray()).max() < 2e-6
