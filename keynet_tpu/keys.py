@@ -230,6 +230,44 @@ def repeat_block_diagonal(B, shape, dtype=_DTYPE):
     return scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(H, W), dtype=dtype).tocsr()
 
 
+def orthogonal_block_diagonal(mats, shape=None, withinverse=False, dtype=_DTYPE):
+    """Block diagonal from a LIST of distinct orthogonal blocks, cycled down
+    the diagonal, with ragged-edge clipping; inverse = transpose.
+
+    Constructor-level parity with the reference's list form
+    (keynet/sparse.py:238-269): ``mats`` may be a single matrix (equivalent to
+    :func:`repeat_block_diagonal` on a square shape) or a list of equal-sized
+    square blocks placed as ``mats[k % len(mats)]`` at diagonal position k.
+    Orthogonality of each block is assumed (not checked), exactly as in the
+    reference; when every block is orthogonal the inverse of the assembly is
+    its transpose.  Entries falling outside ``shape`` are clipped (the
+    reference's ragged-edge behavior).
+    """
+    if isinstance(mats, np.ndarray) or scipy.sparse.issparse(mats):
+        assert shape is not None and shape[0] == shape[1], \
+            "single-matrix form requires an explicit square shape"
+        mats = [mats]
+    mats = [scipy.sparse.coo_matrix(m) for m in mats]
+    h, w = mats[0].shape
+    assert h == w and all(m.shape == (h, w) for m in mats), \
+        "all blocks must be square and equal-sized"
+    if shape is None:
+        shape = (len(mats) * h, len(mats) * w)
+    U, V = shape
+    assert U == V, "orthogonal block diagonal must be square"
+    rows, cols, vals = [], [], []
+    for k, i in enumerate(range(0, U, h)):
+        b = mats[k % len(mats)]
+        keep = ((i + b.row) < U) & ((i + b.col) < V)  # ragged-edge clip
+        rows.append(i + b.row[keep])
+        cols.append(i + b.col[keep])
+        vals.append(b.data[keep])
+    A = scipy.sparse.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(U, V), dtype=dtype).tocsr()
+    return (A, A.T.tocsr()) if withinverse else A
+
+
 def _emit_perm_blockdiag_affine(gv, Binner, N, d=None, b=None, dtype=_DTYPE,
                                 chunk_entries=8 << 20):
     """One-pass CSR emission of  G · (I ⊗ Binner ⊕ 1) · diag-affine(d, b)  on

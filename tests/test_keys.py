@@ -71,6 +71,27 @@ def test_repeat_block_diagonal_ragged():
     assert np.allclose(D[8:10, 8:10], np.eye(2))  # ragged remainder is identity
 
 
+def test_orthogonal_block_diagonal_list_form():
+    """Reference keynet/sparse.py:238-269: a LIST of distinct orthogonal blocks
+    cycled down the diagonal; inverse = transpose; ragged edges clipped."""
+    rng = np.random.default_rng(5)
+    mats = [keys.givens_orthogonal_matrix(4, 8, rng) for _ in range(3)]
+    A, Ainv = keys.orthogonal_block_diagonal(mats, withinverse=True)
+    assert A.shape == (12, 12)
+    assert _is_identity(A @ Ainv, atol=1e-9)
+    D = A.toarray()
+    for k in range(3):
+        assert np.allclose(D[4 * k:4 * k + 4, 4 * k:4 * k + 4], mats[k].toarray())
+    # blocks cycle when shape exceeds len(mats)*blocksize; ragged edge clips
+    A2 = keys.orthogonal_block_diagonal(mats, shape=(18, 18))
+    D2 = A2.toarray()
+    assert np.allclose(D2[12:16, 12:16], mats[0].toarray())  # cycles back to mats[0]
+    assert np.allclose(D2[16:18, 16:18], mats[1].toarray()[:2, :2])  # clipped
+    # single-matrix form requires explicit shape, matches repeat semantics
+    A3 = keys.orthogonal_block_diagonal(mats[0], shape=(8, 8))
+    assert np.allclose(A3.toarray()[4:8, 4:8], mats[0].toarray())
+
+
 KEY_CONFIGS = [
     dict(),
     dict(global_geometric="permutation"),
