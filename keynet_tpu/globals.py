@@ -42,13 +42,21 @@ GLOBAL = {
     # dense spatial factors are (npix, npix); cap the pixel count (1024 ->
     # <= 4 MB per factor, covers VGG-224 conv4/conv5)
     "KRON_NPIX_MAX": 1024,
-    # strength of the secret conversion-time masks (streaming.split_dense_inverse,
-    # _block_orth_key): each masked p-block gets ceil(p*MASK_ALPHA/2) balanced
-    # Givens rotations, i.e. every coordinate is mixed >= MASK_ALPHA times, so
-    # no row of a published factor can equal a row of the underlying key factor
-    # (round-2 advisory: 2 fixed rotations left E near-identity and leaked
-    # the dense inverse block almost verbatim).
+    # strength floor of the secret conversion-time THIN masks
+    # (streaming.split_dense_inverse on the streaming route, _block_orth_key):
+    # each masked p-block gets ceil(p*alpha/2) balanced Givens rotations with
+    # alpha = max(MASK_ALPHA, keygen's alpha privacy parameter), i.e. every
+    # coordinate is mixed >= alpha times, so no row of a published factor can
+    # equal a row of the underlying key factor (round-2 advisory: 2 fixed
+    # rotations left E near-identity and leaked the dense inverse block almost
+    # verbatim).  Routes whose downstream math is dense use a full Haar (QR)
+    # mask instead — see MASK_DENSE_MAX_BYTES.
     "MASK_ALPHA": 2,
+    # dense-Haar mask affordability gate for materialized layers: estimated
+    # post-mask fill bytes (8 * n_out * min(q*p, n_in)) at or below this use
+    # the statistically-optimal dense orthogonal mask (published split factor
+    # exactly Haar-masked); above it the thin Givens mask keeps fill bounded
+    "MASK_DENSE_MAX_BYTES": 64 << 20,
 }
 
 

@@ -52,7 +52,8 @@ class KeyedLayer:
     """
 
     def __init__(self, module=None, inshape=None, outshape=None, A=None, Ainv=None,
-                 params=None, tileshape=None, W=None, format=None, rng=None):
+                 params=None, tileshape=None, W=None, format=None, rng=None,
+                 mask_alpha=None):
         self._inshape = inshape
         self._outshape = outshape
         self._tileshape = tileshape
@@ -61,6 +62,10 @@ class KeyedLayer:
         # conversions are reproducible (same seed -> same published artifact);
         # an unseeded default keeps ad-hoc constructions secret-by-default.
         self._rng = rng if rng is not None else np.random.default_rng()
+        # Secret-mask strength scales with the keygen privacy parameter alpha
+        # (floored by GLOBAL['MASK_ALPHA']) so masks are never weaker than the
+        # keys they hide (ops.streaming._mask_rotations).
+        self._mask_alpha = mask_alpha
 
         # Big keyed avgpools with per-channel-identical keys factor into
         # I_C ⊗ (spatial) and store/apply only the spatial factor — C× less
@@ -80,21 +85,24 @@ class KeyedLayer:
                 tileshape=tileshape)
 
         # Dense-blocks inverse input keys (doubly-stochastic locals) are split
-        # behind a secret sparse re-key R so the p²-per-row fill of W·A⁻¹
-        # never materializes: the layer becomes the chain (A·W·R)·(R⁻¹·A⁻¹)
+        # behind a secret re-key R so the p²-per-row fill of W·A⁻¹ never
+        # materializes: the layer becomes the chain (A·W·R)·(R⁻¹·A⁻¹)
         # (see ops.streaming.split_dense_inverse; R is discarded here).
-        f2 = None
-        if pool_op is None and Ainv is not None and W is None and inshape is not None \
-                and len(inshape) == 3 and inshape[1] * inshape[2] > 1 \
-                and not isinstance(module, specs.Linear):
-            from .ops.streaming import split_dense_inverse
-            npix = inshape[1] * inshape[2]
-            divs = [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
-            s = split_dense_inverse(scipy.sparse.csr_matrix(Ainv), divs,
-                                    rng=self._rng)
+        # The mask is a dense Haar orthogonal wherever the downstream route
+        # can afford its fill (all-dense Kron chains; materialized layers
+        # under the byte gate) — the published F2 block is then exactly
+        # Haar-masked — and a thin Givens product on the strip-streaming
+        # route, where fill = mixing is the binding constraint.
+        self._split_ok = (pool_op is None and Ainv is not None and W is None
+                          and inshape is not None and len(inshape) == 3
+                          and inshape[1] * inshape[2] > 1
+                          and not isinstance(module, specs.Linear))
+        self._pending_f2 = None
+        deferred_split = isinstance(module, specs.Conv2d)  # conv routes decide below
+        if self._split_ok and not deferred_split:
+            s = self._try_split(Ainv, module)
             if s is not None:
-                Ainv, f2 = s
-        self._pending_f2 = f2
+                Ainv, self._pending_f2 = s[0], s[1]
 
         if W is not None:
             self._layertype = "matrix"
@@ -131,16 +139,29 @@ class KeyedLayer:
                 Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in_h, format="csr")
                 op = None
                 if GLOBAL.get("KRON_FACTORED", "auto") != "never":
+                    # the Kron chain is all dense GEMMs: split with the dense
+                    # Haar mask (published F2 block exactly Haar-masked)
+                    s = self._try_split(Ainv_, module, force_dense=True)
                     op = kron_factored_keyed_conv(inshape, outshape,
                                                   params["weight"],
                                                   params["bias"], module.stride,
-                                                  A_, Ainv_, rng=self._rng)
+                                                  A_,
+                                                  s[0] if s is not None else Ainv_,
+                                                  rng=self._rng)
+                    if op is not None and s is not None:
+                        self._pending_f2 = s[1]
                 if op is None and streaming_scale:
+                    # streaming route: thin Givens mask (fill = mixing is the
+                    # binding constraint; keyed-interposition security)
+                    s = self._try_split(Ainv_, module, force_thin=True)
+                    if s is not None:
+                        Ainv_, self._pending_f2 = s[0], s[1]
                     op = masked_keyed_conv_streaming(inshape, outshape,
                                                      params["weight"],
                                                      params["bias"],
                                                      module.stride, A_, Ainv_,
                                                      rng=self._rng,
+                                                     mask_alpha=mask_alpha,
                                                      tileshape=tileshape
                                                      or DEFAULT_TILE)
                 if op is not None:
@@ -151,6 +172,11 @@ class KeyedLayer:
                     self._nnz = self._op.nnz()
                     return
                 assert not streaming_scale  # fat_ell probe declined: materialize
+                self._pending_f2 = None     # fat_ell kron split didn't engage
+            if self._split_ok and self._pending_f2 is None:
+                s = self._try_split(Ainv, module)
+                if s is not None:
+                    Ainv, self._pending_f2 = s[0], s[1]
             W_hom = toeplitz_conv2d(inshape, params["weight"], bias=params["bias"],
                                     stride=module.stride)
             W_hom = _key_sandwich(W_hom, A, Ainv)
@@ -215,6 +241,42 @@ class KeyedLayer:
         # retain the host CSR only when small (spy/serialization/baselines);
         # big keyed matrices live on device only
         self.W = W_hom if self._nnz <= GLOBAL.get("KEEP_HOST_NNZ", 50_000_000) else None
+
+    def _try_split(self, Ainv, module, force_dense=False, force_thin=False):
+        """Split a dense-blocks inverse key behind a secret re-key, or None
+        when the structure does not hold (ops.streaming.split_dense_inverse).
+
+        Mask density follows the route: a dense Haar orthogonal wherever the
+        downstream math is dense (``force_dense``: the all-GEMM Kron chain;
+        the materialize path when the estimated post-mask fill stays under
+        GLOBAL['MASK_DENSE_MAX_BYTES']), a thin Givens product on the
+        strip-streaming route (``force_thin``) where mask fill multiplies
+        strip spgemm work and tile count."""
+        if not self._split_ok or Ainv is None:
+            return None
+        from .ops.streaming import split_dense_inverse, factor_left_identical
+        Ainv = scipy.sparse.csr_matrix(Ainv)
+        npix = self._inshape[1] * self._inshape[2]
+        divs = [d for d in range(2, min(npix, 8192) + 1) if npix % d == 0]
+        dense = force_dense
+        if not force_dense and not force_thin:
+            f = factor_left_identical(Ainv, divs)
+            if f is None:
+                return None
+            p = int(f[0])
+            if isinstance(module, specs.Conv2d):
+                q = module.in_channels * module.kernel_size ** 2
+            elif isinstance(module, specs.AvgPool2d):
+                q = module.kernel_size ** 2
+            else:
+                q = 4  # keyed-ReLU sandwiches: ReLU-restricted keys are ~diag
+            n_out = int(np.prod(self._outshape)) + 1 if self._outshape is not None \
+                else Ainv.shape[0]
+            est = 8 * n_out * min(q * p, Ainv.shape[1])
+            dense = est <= int(GLOBAL.get("MASK_DENSE_MAX_BYTES", 64 << 20))
+        return split_dense_inverse(Ainv, divs, rng=self._rng,
+                                   mask_alpha=self._mask_alpha,
+                                   dense_mask=dense)
 
     def _chain_f2(self):
         """Append the split-off compact inverse factor: op ← op ∘ F2."""

@@ -169,20 +169,26 @@ def factor_left_identical(M, ps):
     return None
 
 
-def _mask_rotations(p):
-    """Givens rotations for a secret p-block mask: ceil(p*MASK_ALPHA/2),
-    so every coordinate participates in >= MASK_ALPHA rotations under the
+def _mask_rotations(p, mask_alpha=None):
+    """Givens rotations for a secret p-block mask: ceil(p*alpha/2) with
+    alpha = max(GLOBAL MASK_ALPHA floor, the keygen privacy parameter), so
+    every coordinate participates in >= alpha rotations under the
     balanced-pair draw (keys.givens_orthogonal_matrix).  With the round-2
     value of 2 *total* rotations, E was near-identity and the published
     F2 = I⊗(EᵀD₀) exposed most rows of the secret dense block verbatim;
     full coverage guarantees no row of E is a coordinate vector, so no row
     of a published factor matches the corresponding key-factor row
-    (tests/test_streaming.py::test_mask_factors_do_not_leak_key_rows)."""
+    (tests/test_streaming.py::test_mask_factors_do_not_leak_key_rows).
+    Scaling with the user's alpha keeps the mask at least as strong as the
+    key it hides (the round-2 ">= alpha" ask)."""
     from ..globals import GLOBAL
-    return int(max(p, -(-p * int(GLOBAL.get("MASK_ALPHA", 2)) // 2)))
+    alpha = max(int(GLOBAL.get("MASK_ALPHA", 2)),
+                int(mask_alpha) if mask_alpha else 0)
+    return int(max(p, -(-p * alpha // 2)))
 
 
-def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
+def split_dense_inverse(Ainv, ps, rng=None, min_density=32, mask_alpha=None,
+                        dense_mask=False):
     """Split a dense-blocks inverse input key behind a secret sparse re-key.
 
     A doubly-stochastic local key's inverse has DENSE p² blocks
@@ -204,6 +210,17 @@ def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
     own keyed-interface construction, keynet/system.py:96-101); the written
     argument is docs/DESIGN.md §masked-re-keying.
 
+    ``dense_mask=True`` draws E as a dense Haar orthogonal (QR) instead of a
+    Givens product: the published block EᵀD₀ is then *exactly* Haar-masked —
+    statistically indistinguishable from QᵀD₀ for fresh Haar Q (measured: the
+    Givens product, even at near-dense fill, leaves max row-correlation with
+    D₀ at 0.9+, because the max over p² row pairs finds rotations that
+    partially cancel; Haar sits at ~0.6-0.73 for p∈{196,49}).  A mask's
+    mixing equals its fill, so the dense mask is only affordable when the
+    downstream route is dense math (materialized small layers, the Kronecker
+    chain) — callers on the strip-streaming route keep the thin Givens mask
+    (tests/test_streaming.py; docs/DESIGN.md §7).
+
     Returns (R_csr, F2_op) or None when Ainv is thin (mean row fill below
     ``min_density``) or lacks the identical-dense-block structure.
     """
@@ -217,7 +234,13 @@ def split_dense_inverse(Ainv, ps, rng=None, min_density=32):
     from ..keys import givens_orthogonal_matrix, repeat_block_diagonal
     from ..homogeneous import sparse_affine_to_linear
     rng = rng or np.random.default_rng()
-    E, Einv = givens_orthogonal_matrix(p, _mask_rotations(p), rng, withinverse=True)
+    if dense_mask:
+        from .kronfactor import random_orthogonal
+        Ed = random_orthogonal(p, rng)
+        E, Einv = scipy.sparse.csr_matrix(Ed), scipy.sparse.csr_matrix(Ed.T)
+    else:
+        E, Einv = givens_orthogonal_matrix(p, _mask_rotations(p, mask_alpha),
+                                           rng, withinverse=True)
     E = scipy.sparse.csr_matrix(E, dtype=np.float32)
     IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)))
     R = sparse_affine_to_linear(IE[g])          # P'·(I⊗E), homogeneous
@@ -265,15 +288,16 @@ def _run_block_perm(N, p, C, rng, tile=128):
             scipy.sparse.csr_matrix(sparse_affine_to_linear(P.T), dtype=np.float32))
 
 
-def _block_orth_key(n, p, rng):
+def _block_orth_key(n, p, rng, mask_alpha=None):
     """Secret block-local orthogonal mix: one (perm·givens) block repeated on
     the p-sized run grid; inverse = exact transpose.  The Givens factor uses
-    _mask_rotations(p) rotations (full balanced coverage) so the mix is far
-    from identity in every coordinate.  Returns (K, Kinv) homogeneous CSR."""
+    _mask_rotations(p, mask_alpha) rotations (full balanced coverage, scaled
+    by the keygen alpha) so the mix is far from identity in every coordinate.
+    Returns (K, Kinv) homogeneous CSR."""
     from ..keys import permutation_matrix, givens_orthogonal_matrix, repeat_block_diagonal
     from ..homogeneous import sparse_affine_to_linear
     Pm = permutation_matrix(p, rng)
-    S = givens_orthogonal_matrix(p, _mask_rotations(p), rng)
+    S = givens_orthogonal_matrix(p, _mask_rotations(p, mask_alpha), rng)
     E = scipy.sparse.csr_matrix(Pm @ S, dtype=np.float32)
     IE = scipy.sparse.csr_matrix(repeat_block_diagonal(E, (n, n)), dtype=np.float32)
     return (scipy.sparse.csr_matrix(sparse_affine_to_linear(IE), dtype=np.float32),
@@ -281,7 +305,7 @@ def _block_orth_key(n, p, rng):
 
 
 def masked_keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv,
-                                rng=None, **stream_kwargs):
+                                rng=None, mask_alpha=None, **stream_kwargs):
     """Streamed keyed conv with *masked re-keying* for keys whose global
     permutation factor would fragment tile dedup (hierarchical/flat global
     permutations: the reference's stochastic VGG recipe,
@@ -352,12 +376,12 @@ def masked_keyed_conv_streaming(inshape, outshape, weight, bias, stride, A, Ainv
     F1 = F2 = None
     if p_o is not None:
         Po, Poinv = _run_block_perm(n_out - 1, p_o, outshape[0], rng)
-        Ko, Koinv = _block_orth_key(n_out - 1, p_o, rng)
+        Ko, Koinv = _block_orth_key(n_out - 1, p_o, rng, mask_alpha)
         F1 = (A @ Po) @ Ko                 # thin: A is sparse, Po perm, Ko block-sparse
         A_M = Koinv @ Poinv                # (I⊗E_o⁻¹)·π_o⁻¹
     if p_i is not None:
         Pi, Piinv = _run_block_perm(n_in - 1, p_i, inshape[0], rng)
-        Ki, Kiinv = _block_orth_key(n_in - 1, p_i, rng)
+        Ki, Kiinv = _block_orth_key(n_in - 1, p_i, rng, mask_alpha)
         F2 = (Kiinv @ Piinv) @ Ainv        # thin
         Ainv_M = Pi @ Ki                   # π_i·(I⊗E_i)
     M = keyed_conv_streaming(inshape, outshape, weight, bias, stride,

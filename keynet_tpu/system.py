@@ -62,16 +62,17 @@ def repair_tileshape(tileshape):
 
 
 def layergen(module, inshape, outshape, A, Ainv, params=None, tileshape=None,
-             backend="jax", rng=None):
+             backend="jax", rng=None, mask_alpha=None):
     """KeyedLayer factory with MXU-aligned tileshape repair (see
     repair_tileshape; reference analog keynet/system.py:303-314).  ``rng``
     seeds the secret conversion-time masks (split/masked re-keying) for
-    reproducible artifacts."""
+    reproducible artifacts; ``mask_alpha`` scales the mask strength with the
+    keygen alpha privacy parameter (>= GLOBAL['MASK_ALPHA'] floor)."""
     tileshape = repair_tileshape(tileshape)
     if backend != "jax":
         raise ValueError("invalid backend '%s' (keynet_tpu supports 'jax')" % backend)
     return KeyedLayer(module, inshape, outshape, A, Ainv, params=params,
-                      tileshape=tileshape, rng=rng)
+                      tileshape=tileshape, rng=rng, mask_alpha=mask_alpha)
 
 
 def _conversion_device():
@@ -526,7 +527,8 @@ def Keynet(inshape, net=None, backend="jax", global_photometric="identity",
 
     def f_layergen(module, inshape_, outshape_, A, Ainv, params=None):
         return layergen(module, inshape_, outshape_, A, Ainv, params=params,
-                        tileshape=tileshape, backend=backend, rng=mask_rng)
+                        tileshape=tileshape, backend=backend, rng=mask_rng,
+                        mask_alpha=alpha)
 
     sensor = KeyedSensor(inshape, f_keypair("input", inshape))
     model = KeyedModel(net, inshape, sensor.key(), f_keypair, f_layergen,
