@@ -374,12 +374,17 @@ class TpShardedTapSumOp:
         return op
 
 
-def tp_shard_chain_op(op, mesh, tp_axis="tp"):
-    """Convert a ChainedOp's Kronecker/TapSum members to their tp-sharded
-    forms (TapSum: tap-sharded + psum; Kronecker: channel-row-sharded).
-    Members that cannot shard (perm_out gathers, non-Kron links) replicate.
+def tp_shard_chain_op(op, mesh, tp_axis="tp", max_replication=0.75):
+    """Convert a ChainedOp's shardable members to their tp-sharded forms:
+    TapSum tap-sharded + psum, Kronecker channel-row-sharded, and streamed
+    Block-ELL middles ((Permuted)BlockSparseOp) tile-row-sharded via
+    tp_shard_block_op — so a real streamed masked-chain conv
+    (ops.streaming.masked_keyed_conv_streaming output) shards end to end.
+    Members that cannot shard (perm_out gathers, thin ELL factors,
+    periodic tile stores that would replicate anyway) replicate.
     Returns a new ChainedOp, or None when nothing in the chain shards."""
-    from ..ops.operators import ChainedOp, KroneckerOp, TapSumOp
+    from ..ops.operators import (ChainedOp, KroneckerOp, TapSumOp,
+                                 BlockSparseOp, PermutedBlockSparseOp)
     if not isinstance(op, ChainedOp):
         return None
     tp = mesh.shape[tp_axis] if tp_axis in mesh.axis_names else 1
@@ -393,6 +398,9 @@ def tp_shard_chain_op(op, mesh, tp_axis="tp"):
             conv = TpShardedTapSumOp.from_tapsum_op(link, mesh, tp_axis)
         elif isinstance(link, KroneckerOp):
             conv = TpShardedKroneckerOp.from_kron_op(link, mesh, tp_axis)
+        elif isinstance(link, (BlockSparseOp, PermutedBlockSparseOp)):
+            conv = tp_shard_block_op(link, mesh, tp_axis,
+                                     max_replication=max_replication)
         if conv is not None:
             out.append(conv)
             any_sharded = True
