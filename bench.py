@@ -54,14 +54,18 @@ def main():
     ops = knet._ops
     y = jax.block_until_ready(fwd(ops, xc_dev))  # compile + warm
     n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        y = fwd(ops, xc_dev)
-    jax.block_until_ready(y)
-    tpu_s = (time.perf_counter() - t0) / n_iter
+    reps = []
+    for _ in range(3):  # median-of-3: this host's wall clock varies up to 3x
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            y = fwd(ops, xc_dev)
+        jax.block_until_ready(y)
+        reps.append((time.perf_counter() - t0) / n_iter)
+    tpu_s = float(np.median(reps))
     tpu_ips = BATCH / tpu_s
-    log("TPU keyed forward: %.3f ms/batch(%d) = %.0f imgs/sec"
-        % (1e3 * tpu_s, BATCH, tpu_ips))
+    log("TPU keyed forward: %.3f ms/batch(%d) = %.0f imgs/sec (median of 3: %s)"
+        % (1e3 * tpu_s, BATCH, tpu_ips,
+           ["%.3f" % (1e3 * r) for r in reps]))
     y_tpu_full = np.asarray(y)
 
     # ---------------- CPU scipy CSR baseline (reference execution model) ----
@@ -85,17 +89,22 @@ def main():
         return xT
 
     # give the baseline its BEST batch size (scipy CSR x dense degrades once
-    # the dense operand falls out of cache; don't let that flatter the ratio)
+    # the dense operand falls out of cache; don't let that flatter the ratio),
+    # and take the MEDIAN of 3 timed repetitions per batch size — this host's
+    # wall clock varies up to 3x on identical code (vs_baseline swung
+    # 45 -> 74 -> 67 across BENCH_r01-03 on a single-pass baseline)
     cpu_ips, yb = 0.0, None
     for bc in (256, 1024, BATCH):
         xT = xc[:bc].T.copy()
         scipy_forward(xT)  # warm
-        n_iter_cpu = 3
-        t0 = time.perf_counter()
-        for _ in range(n_iter_cpu):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
             out = scipy_forward(xT)
-        ips = bc / ((time.perf_counter() - t0) / n_iter_cpu)
-        log("CPU scipy CSR forward: batch %d = %.0f imgs/sec" % (bc, ips))
+            times.append(time.perf_counter() - t0)
+        ips = bc / float(np.median(times))
+        log("CPU scipy CSR forward: batch %d = %.0f imgs/sec (median of 3)"
+            % (bc, ips))
         if ips > cpu_ips:
             cpu_ips, yb = ips, (bc, out)
     log("CPU baseline (best batch): %.0f imgs/sec" % cpu_ips)
@@ -151,12 +160,53 @@ def main():
         % (fast_ips, fast_ips / cpu_ips))
     G.GLOBAL["PRECISION"] = "highest"
 
-    print(json.dumps({
+    # ---------------- second config: AllConvNet stochastic (conversion path) --
+    # captures a conversion-pipeline number in the round artifact, not just
+    # LeNet serving (the reference cannot materialize this recipe as CSR at
+    # all — BASELINE.md row 2; its nearest runnable execution model measured
+    # 9.6 imgs/s at B=64 on this host)
+    extra = None
+    try:
+        net_ac = keynet.models.AllConvNet(seed=1)
+        t0 = time.perf_counter()
+        sensor_ac, knet_ac = keynet.StochasticKeynet((3, 32, 32), net_ac,
+                                                     alpha=2, blocksize=8,
+                                                     seed=0)
+        knet_ac._build()
+        convert_s = time.perf_counter() - t0
+        B_AC = 1024
+        x_ac = rng.normal(size=(B_AC, 3, 32, 32)).astype(np.float32)
+        xc_ac = jnp.asarray(np.asarray(
+            sensor_ac.fromtensor(x_ac).encrypt().tensor()))
+        fwd_ac, ops_ac = knet_ac._forward, knet_ac._ops
+        ya = jax.block_until_ready(fwd_ac(ops_ac, xc_ac))
+        reps_ac = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                ya = fwd_ac(ops_ac, xc_ac)
+            jax.block_until_ready(ya)
+            reps_ac.append((time.perf_counter() - t0) / 4)
+        ac_ips = B_AC / float(np.median(reps_ac))
+        log("AllConvNet stochastic: convert %.1fs, forward %.0f imgs/sec "
+            "(B=%d, median of 3)" % (convert_s, ac_ips, B_AC))
+        extra = {"metric": "allconv_stochastic_convert_s",
+                 "value": round(convert_s, 1), "unit": "s",
+                 "forward_imgs_per_sec": round(ac_ips, 1),
+                 "reference": "unmaterializable as CSR (BASELINE.md row 2; "
+                              "nearest runnable execution model 9.6 imgs/s)"}
+    except Exception as e:
+        log("AllConvNet stochastic section failed: %r" % (e,))
+
+    out = {
         "metric": "keyed_lenet_forward_imgs_per_sec",
         "value": round(tpu_ips, 1),
         "unit": "imgs/sec",
         "vs_baseline": round(tpu_ips / cpu_ips, 2),
-    }))
+    }
+    if extra is not None:
+        out["extra"] = extra
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -92,6 +92,108 @@ class DenseOp(LinearOp):
 
 
 @jax.tree_util.register_pytree_node_class
+class DirectConvOp(LinearOp):
+    """Identity-keyed conv2d / avgpool2d applied as an XLA convolution.
+
+    When both layer keys are exact identities, Ŵ = A·W·A⁻¹ IS the homogeneous
+    Toeplitz matrix of the source layer (reference keynet/sparse.py:163-212),
+    so instead of materializing billions of structurally-redundant Toeplitz
+    entries (identity VGG-224 round-2: 15.0 B nnz, 805 MB, 24 min conversion)
+    the operator stores just the (C2, C1/groups, kh, kw) filter and compiles
+    to one lax.conv_general_dilated on the MXU — identity keys become the
+    FASTEST configuration, as they should be.
+
+    Homogeneous contract preserved: x (B, C1·H1·W1+1) -> (B, C2·H2·W2+1);
+    the per-channel bias rides the trailing column (scaled by the incoming
+    homogeneous coordinate, exactly like the Toeplitz bias column) and the
+    trailing 1 carries through.  Padding/stride semantics match
+    toeplitz_conv2d: correlation with implicit zero padding (kh-1)//2 and
+    output (H1//s, W1//s) sampled at stride multiples.  ``groups=C`` gives
+    the channel-diagonal avgpool form (reference keynet/sparse.py:206-212).
+
+    nnz() reports the exact Toeplitz stored-entry count — explicit zero taps
+    preserved (the reference's structure-preservation rule) — for parity with
+    the entry-storing formats.
+    """
+
+    def __init__(self, weight, bias, inshape, outshape, stride, groups=1,
+                 nnz=None):
+        self.weight = weight            # (C2, C1/groups, kh, kw) jnp f32
+        self.bias = bias                # (C2,) jnp f32 or None
+        self.inshape = tuple(inshape)   # (C1, H1, W1)
+        self.outshape = tuple(outshape)  # (C2, H2, W2)
+        self.stride = int(stride)
+        self.groups = int(groups)
+        self.shape = (int(np.prod(outshape)) + 1, int(np.prod(inshape)) + 1)
+        self._nnz = int(nnz) if nnz is not None else self.toeplitz_nnz(
+            inshape, outshape, weight.shape[2], weight.shape[3], stride,
+            groups, bias is not None)
+
+    @staticmethod
+    def toeplitz_nnz(inshape, outshape, kh, kw, stride, groups, has_bias):
+        """Exact stored-entry count of the equivalent homogeneous Toeplitz
+        matrix (valid taps per output pixel x channel pairs + bias column +
+        homogeneous corner 1)."""
+        C1, H1, W1 = inshape
+        C2, H2, W2 = outshape
+        hp, hq = (kh - 1) // 2, (kw - 1) // 2
+        ku = np.arange(H2, dtype=np.int64) * stride
+        kv = np.arange(W2, dtype=np.int64) * stride
+        nu = np.minimum(H1, ku - hp + kh) - np.maximum(0, ku - hp)
+        nv = np.minimum(W1, kv - hq + kw) - np.maximum(0, kv - hq)
+        taps = int(nu.sum() * nv.sum())       # sum over pixels of nu*nv
+        body = taps * C2 * (C1 // groups)
+        return body + (C2 * H2 * W2 if has_bias else 0) + 1
+
+    def apply(self, x):
+        B = x.shape[0]
+        C1, H1, W1 = self.inshape
+        C2, H2, W2 = self.outshape
+        kh, kw = self.weight.shape[2], self.weight.shape[3]
+        hp, hq = (kh - 1) // 2, (kw - 1) // 2
+        s = self.stride
+        pr_h = max(0, (H2 - 1) * s + kh - 1 - hp - (H1 - 1))
+        pr_w = max(0, (W2 - 1) * s + kw - 1 - hq - (W1 - 1))
+        xc = x[:, :-1].reshape(B, C1, H1, W1)
+        xh = x[:, -1:]
+        y = jax.lax.conv_general_dilated(
+            xc, self.weight, window_strides=(s, s),
+            padding=((hp, pr_h), (hq, pr_w)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32, precision=precision())
+        y = y.reshape(B, C2, H2 * W2)
+        if self.bias is not None:
+            y = y + xh[:, :, None] * self.bias[None, :, None]
+        return jnp.concatenate([y.reshape(B, -1), xh], axis=1)
+
+    def nnz(self):
+        return self._nnz
+
+    def device_bytes(self):
+        return int(self.weight.size + (self.bias.size if self.bias is not None
+                                       else 0)) * 4
+
+    def arrays(self):
+        a = {"weight": self.weight}
+        if self.bias is not None:
+            a["bias"] = self.bias
+        return a
+
+    def tree_flatten(self):
+        return (self.weight, self.bias), \
+            (self.inshape, self.outshape, self.stride, self.groups, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op = cls.__new__(cls)
+        op.weight, op.bias = children
+        op.inshape, op.outshape, op.stride, op.groups, op._nnz = aux
+        op.shape = (int(np.prod(op.outshape)) + 1, int(np.prod(op.inshape)) + 1)
+        return op
+
+
+@jax.tree_util.register_pytree_node_class
 class BlockSparseOp(LinearOp):
     """Block-ELL sparse operator with content-deduplicated tiles.
 

@@ -18,12 +18,19 @@ import jax.numpy as jnp
 from .layer import KeyedLayer
 from .ops.operators import (DenseOp, BlockSparseOp, EllOp, PermutedBlockSparseOp,
                             ChainedOp, RepeatedBlockDiagOp, KroneckerOp, TapSumOp,
-                            ChannelBroadcastOp)
+                            ChannelBroadcastOp, DirectConvOp)
 
 
 def _op_state(op):
     if isinstance(op, DenseOp):
         return "dense", {"W": np.asarray(op.W)}, {"nnz": op.nnz()}
+    if isinstance(op, DirectConvOp):
+        arrs = {"weight": np.asarray(op.weight)}
+        if op.bias is not None:
+            arrs["bias"] = np.asarray(op.bias)
+        return "directconv", arrs, \
+            {"inshape": op.inshape, "outshape": op.outshape,
+             "stride": op.stride, "groups": op.groups, "nnz": op.nnz()}
     if isinstance(op, BlockSparseOp):
         arrs = {k: np.asarray(v) for k, v in op.arrays().items()}
         tile_dtype = str(op.tiles.dtype)
@@ -82,6 +89,12 @@ def _op_state(op):
 def _op_restore(kind, arrs, meta):
     if kind == "dense":
         return DenseOp(jnp.asarray(arrs["W"]), nnz=meta["nnz"])
+    if kind == "directconv":
+        return DirectConvOp(jnp.asarray(arrs["weight"]),
+                            jnp.asarray(arrs["bias"]) if "bias" in arrs else None,
+                            tuple(meta["inshape"]), tuple(meta["outshape"]),
+                            int(meta["stride"]), groups=int(meta["groups"]),
+                            nnz=meta["nnz"])
     if kind == "block":
         tdt = meta.get("tile_dtype", "float32")
         tiles = arrs["tiles"]
