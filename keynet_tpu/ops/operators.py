@@ -424,12 +424,17 @@ class BlockSparseOp(LinearOp):
         B = xb.shape[0]
         TM, TN = self.tileshape
         if self._pallas_ok(B, TM, TN):
-            from .pallas_kernels import block_ell_matmul
+            from .pallas_kernels import block_ell_matmul, block_ell_matmul_xres
             sub = 8 if x.dtype == jnp.float32 else 16  # sublane alignment
             pad_b = (-B) % sub
             xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-            y = block_ell_matmul(xp, self.tiles, self.tile_ids[a:b],
-                                 self.col_blk[a:b], (b - a) * TM)
+            # x-resident variant when the whole padded x fits the VMEM
+            # budget: one tile DMA per slot instead of tile+x (the HBM
+            # kernel is scalar-core DMA-issue-bound), and x leaves HBM once
+            kfn = block_ell_matmul_xres if self._pallas_xres_ok(
+                xp.shape[0], xp.shape[1], TM, TN) else block_ell_matmul
+            y = kfn(xp, self.tiles, self.tile_ids[a:b],
+                    self.col_blk[a:b], (b - a) * TM)
             return y[:B]
         xg = xb[:, self.col_blk[a:b]]                  # (B, b-a, KB, TN)
         Tg = self.tiles[self.tile_ids[a:b]]            # (b-a, KB, TM, TN)
@@ -500,7 +505,10 @@ class BlockSparseOp(LinearOp):
         sub = 8 if it == 4 else 16
         KB = self.tile_ids.shape[1]
         budget = 12 * (1 << 20)
-        fixed = it * PGROUP * KB * TM * TN
+        # ngb-deep group tile buffer (double-buffered prefetch when P spans
+        # more than one PGROUP group — pallas_kernels._periodic_kernel)
+        ngb = min(2, -(-self.period[1] // PGROUP))
+        fixed = it * ngb * PGROUP * KB * TM * TN
         per_b = it * n_cols + 4 * PGROUP * TM
         # the kernel's x operand and output block are sublane-padded: a 5-row
         # bf16 chunk occupies 16 VMEM rows, so the chunk size must be a
@@ -543,6 +551,14 @@ class BlockSparseOp(LinearOp):
         it = self.tiles.dtype.itemsize
         Bp = B + ((-B) % (8 if it == 4 else 16))  # sublane-padded batch
         vmem = it * (NBUF * Bp * TN + NBUF * TM * TN) + 4 * Bp * GROUP * TM
+        return vmem <= 12 * (1 << 20)
+
+    def _pallas_xres_ok(self, Bp, n_cols, TM, TN):
+        """Whether the x-VMEM-resident slot kernel fits: the whole padded x
+        plus the tile pipeline and the output block within the VMEM budget."""
+        from .pallas_kernels import GROUP, NBUF
+        it = self.tiles.dtype.itemsize
+        vmem = it * (Bp * n_cols + NBUF * TM * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
     def row_shard_plan(self, tp):

@@ -130,47 +130,157 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     return y[:, :n_out_padded]
 
 
+def _kernel_xres(tile_ids_ref, col_blk_ref,  # SMEM (GROUP, KB) for this group
+                 x_vmem, tiles_hbm,          # VMEM-resident x, HBM tiles
+                 out_ref,                    # VMEM output block (B, GROUP*TM)
+                 t_buf, sems, precision):
+    """x-resident slot walk: ONE tile DMA per slot, x blocks sliced straight
+    out of VMEM.  The HBM-operand kernel (_kernel) is scalar-core-bound, not
+    bandwidth-bound — two DMA start/wait pairs per slot cost ~0.25 us of
+    descriptor issue on the scalar core, which is why halving the bytes
+    (bf16 tiles) only cut 13% of its time (docs/SERVING.md round-3 table).
+    Keeping x in VMEM halves the per-slot DMA issues AND drops total HBM
+    traffic from slots*(tile+x block) to slots*tile + x-once."""
+    KB = tile_ids_ref.shape[1]
+    TN = t_buf.shape[2]
+    TM = t_buf.shape[1]
+    total = GROUP * KB
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def tcopy(s, buf):
+        tid = tile_ids_ref[s // KB, s % KB]
+        return pltpu.make_async_copy(tiles_hbm.at[tid], t_buf.at[buf],
+                                     sems.at[buf])
+
+    for s0 in range(NBUF - 1):  # unrolled prologue (static trip count)
+        @pl.when(s0 < total)
+        def _(s0=s0):
+            tcopy(s0, s0 % NBUF).start()
+
+    def body(s, _):
+        buf = s % NBUF
+
+        @pl.when(s + NBUF - 1 < total)
+        def _():
+            tcopy(s + NBUF - 1, (s + NBUF - 1) % NBUF).start()
+
+        tcopy(s, buf).wait()
+        j, k = s // KB, s % KB
+        tid = tile_ids_ref[j, k]
+
+        # tile id 0 is the zero-padding tile: skip its FLOPs
+        @pl.when(tid > 0)
+        def _():
+            cb = col_blk_ref[j, k]
+            out_ref[:, pl.ds(j * TM, TM)] += jax.lax.dot_general(
+                x_vmem[:, pl.ds(cb * TN, TN)], t_buf[buf],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_padded", "interpret"))
+def block_ell_matmul_xres(x_padded, tiles, tile_ids, col_blk, n_out_padded,
+                          interpret=False):
+    """x-VMEM-resident variant of block_ell_matmul (same contract).  Caller
+    gates on the whole padded x fitting the VMEM budget
+    (BlockSparseOp._pallas_ok); preferred when it fits — one DMA per slot
+    instead of two, and x leaves HBM exactly once."""
+    B = x_padded.shape[0]
+    n_rb, KB = tile_ids.shape
+    TM, TN = tiles.shape[1], tiles.shape[2]
+    n_grp = -(-n_rb // GROUP)
+    pad_r = n_grp * GROUP - n_rb
+    if pad_r:
+        tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, 0)))
+        col_blk = jnp.pad(col_blk, ((0, pad_r), (0, 0)))
+    from ..globals import precision as _prec
+    dt = tiles.dtype
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_xres, precision=prec)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_grp,),
+        in_specs=[
+            pl.BlockSpec((GROUP, KB), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, KB), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully VMEM-resident
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((B, GROUP * TM), lambda r: (0, r),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TM, TN), dt),  # pipelined tiles
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+    )(tile_ids, col_blk, x_padded.astype(dt), tiles)
+    return y[:, :n_out_padded]
+
+
 PGROUP = 8  # period rows per grid step (TPU SMEM blocks need 8-row alignment)
 
 
 def _periodic_kernel(col_ref,   # SMEM (1, PGROUP, KB): cols of rows rho0..+8 at rep j
-                     ids_ref,   # SMEM (PGROUP, KB): tile ids of period rows rho0..+8
+                     ids_ref,   # SMEM (n_grp*PGROUP, KB): ALL period tile ids
                      x_vmem,    # VMEM (B, n_cb*TN) resident input
                      tiles_hbm,  # HBM (n_uniq, TM, TN)
                      out_ref,   # VMEM (B, PGROUP*TM) output block
                      t_buf, sems, precision):
     """Tile-resident periodic Block-ELL matvec: grid (P/PGROUP, R), rep axis
-    innermost.  A group's PGROUP*KB tiles are DMA'd once at j==0 and stay in
-    VMEM for all R repetitions; x is fully VMEM-resident, so HBM traffic is
-    exactly ONE read of the period's tile set (plus the small output) — the
-    small-batch serving roofline (docs/SERVING.md).  Zero-tile slots (id 0,
-    including rows padding P up to PGROUP) are skipped."""
+    innermost.  A group's PGROUP*KB tiles are DMA'd once and stay in VMEM for
+    all R repetitions; x is fully VMEM-resident, so HBM traffic is exactly
+    ONE read of the period's tile set (plus the small output) — the
+    small-batch serving roofline (docs/SERVING.md).  With more than one
+    group, tile buffers are double-buffered: group g+1's DMAs start at
+    (g, j==0) and overlap all R repetitions of group g's compute, so the
+    group-boundary transfer wait disappears (round-3 VERDICT #4).  Zero-tile
+    slots (id 0, including rows padding P up to PGROUP) are skipped."""
     KB = ids_ref.shape[1]
-    TM = t_buf.shape[2]
+    NGB = t_buf.shape[0]             # tile-buffer depth: min(2, n_grp)
+    TM = t_buf.shape[3]
+    g = pl.program_id(0)
     j = pl.program_id(1)
+    n_grp = pl.num_programs(0)
+
+    def group_copies(gi, buf, do):
+        for gg in range(PGROUP):     # static unroll: PGROUP*KB tile DMAs
+            for k in range(KB):
+                c = pltpu.make_async_copy(
+                    tiles_hbm.at[ids_ref[gi * PGROUP + gg, k]],
+                    t_buf.at[buf, gg, k], sems.at[buf, gg, k])
+                c.start() if do == "start" else c.wait()
 
     @pl.when(j == 0)
     def _():
-        for g in range(PGROUP):      # static unroll: load the group's tiles
-            for k in range(KB):
-                pltpu.make_async_copy(tiles_hbm.at[ids_ref[g, k]],
-                                      t_buf.at[g, k], sems.at[g, k]).start()
-        for g in range(PGROUP):
-            for k in range(KB):
-                pltpu.make_async_copy(tiles_hbm.at[ids_ref[g, k]],
-                                      t_buf.at[g, k], sems.at[g, k]).wait()
+        if NGB == 1:                 # static: no prefetch — load in place
+            group_copies(g, 0, "start")
+        else:
+            @pl.when(g == 0)
+            def _():
+                group_copies(0, 0, "start")
+        group_copies(g, g % NGB, "wait")
+        if NGB > 1:                  # static: prefetch only when 2 buffers
+            @pl.when(g + 1 < n_grp)
+            def _():
+                group_copies(g + 1, (g + 1) % NGB, "start")
 
+    buf = g % NGB
     out_ref[...] = jnp.zeros_like(out_ref)
-    for g in range(PGROUP):
+    for gg in range(PGROUP):
         for k in range(KB):          # static unroll over the group's slots
-            tid = ids_ref[g, k]
+            tid = ids_ref[g * PGROUP + gg, k]
 
             @pl.when(tid > 0)
-            def _(g=g, k=k):
-                cb = col_ref[0, g, k]
-                xb = x_vmem[:, pl.ds(cb * (t_buf.shape[3]), t_buf.shape[3])]
-                out_ref[:, pl.ds(g * TM, TM)] += jax.lax.dot_general(
-                    xb, t_buf[g, k],
+            def _(gg=gg, k=k):
+                cb = col_ref[0, gg, k]
+                xb = x_vmem[:, pl.ds(cb * (t_buf.shape[4]), t_buf.shape[4])]
+                out_ref[:, pl.ds(gg * TM, TM)] += jax.lax.dot_general(
+                    xb, t_buf[buf, gg, k],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision)
 
@@ -196,14 +306,15 @@ def periodic_block_ell_matvec(x_padded, tiles, tile_ids, col_blk, s, P, R,
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_periodic_kernel, precision=prec)
     n_grp = P8 // PGROUP
+    ngb = min(2, n_grp)  # double-buffer group tiles only when >1 group
     y = pl.pallas_call(
         kernel,
         grid=(n_grp, R),
         in_specs=[
             pl.BlockSpec((1, PGROUP, KB), lambda g, j: (j, g, 0),
                          memory_space=pltpu.SMEM),          # col rows (rep j)
-            pl.BlockSpec((PGROUP, KB), lambda g, j: (g, 0),
-                         memory_space=pltpu.SMEM),          # period tile ids
+            pl.BlockSpec((P8, KB), lambda g, j: (0, 0),
+                         memory_space=pltpu.SMEM),  # ALL period tile ids (tiny)
             pl.BlockSpec(memory_space=pltpu.VMEM),          # x resident
             pl.BlockSpec(memory_space=pltpu.ANY),           # tiles in HBM
         ],
@@ -212,8 +323,8 @@ def periodic_block_ell_matvec(x_padded, tiles, tile_ids, col_blk, s, P, R,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, R * P8 * TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((PGROUP, KB, TM, TN), dt),
-            pltpu.SemaphoreType.DMA((PGROUP, KB)),
+            pltpu.VMEM((ngb, PGROUP, KB, TM, TN), dt),
+            pltpu.SemaphoreType.DMA((ngb, PGROUP, KB)),
         ],
         interpret=interpret,
     )(cols_mid, ids_mid, x_padded.astype(dt), tiles)

@@ -27,7 +27,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from keynet_tpu.ops.pallas_kernels import block_ell_matmul
+    from keynet_tpu.ops.pallas_kernels import (block_ell_matmul,
+                                               block_ell_matmul_xres)
 
     assert jax.default_backend() == "tpu", "run on the TPU box"
     rng = np.random.default_rng(0)
@@ -48,46 +49,53 @@ def main():
         ids_dev = jnp.asarray(tile_ids)
         cb_dev = jnp.asarray(col_blk)
 
-        def chain(x, K):
-            def body(i, x):
-                return block_ell_matmul(x, t_dev, ids_dev, cb_dev, n_rb * TM)
-            return jax.lax.fori_loop(0, K, body, x)
+        for kfn, kname in ((block_ell_matmul, "hbm"),
+                           (block_ell_matmul_xres, "xres")):
+            def chain(x, K, kfn=kfn):
+                def body(i, x):
+                    return kfn(x, t_dev, ids_dev, cb_dev, n_rb * TM)
+                return jax.lax.fori_loop(0, K, body, x)
 
-        chains = {K: jax.jit(chain, static_argnums=1) for K in (K1, K2)}
+            chains = {K: jax.jit(chain, static_argnums=1) for K in (K1, K2)}
 
-        for B in (8, 64, 128):
-            x0 = jnp.asarray(rng.normal(size=(B, n_cb * TN)).astype(np.float32))
-            # correctness vs einsum (on-chip) for one application
-            y0 = np.asarray(block_ell_matmul(x0, t_dev, ids_dev, cb_dev,
-                                             n_rb * TM))
-            xg = x0.astype(dtype).reshape(B, n_cb, TN)[:, col_blk]
-            # HIGHEST so the reference accumulates in f32 like the kernel
-            # (default MXU bf16 passes would make the REFERENCE the noisy one)
-            ye = np.asarray(jnp.einsum(
-                "brkn,rkmn->brm", xg, t_dev[tile_ids],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).reshape(B, -1))
-            err = np.abs(y0 - ye).max() / max(1.0, np.abs(ye).max())
-            assert err < 1e-3, err
+            for B in (8, 64, 128):
+                x0 = jnp.asarray(rng.normal(size=(B, n_cb * TN)).astype(np.float32))
+                # correctness vs einsum (on-chip) for one application
+                y0 = np.asarray(kfn(x0, t_dev, ids_dev, cb_dev, n_rb * TM))
+                xg = x0.astype(dtype).reshape(B, n_cb, TN)[:, col_blk]
+                # HIGHEST so the reference accumulates in f32 like the kernel
+                # (default MXU bf16 passes would make the REFERENCE the noisy one)
+                ye = np.asarray(jnp.einsum(
+                    "brkn,rkmn->brm", xg, t_dev[tile_ids],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).reshape(B, -1))
+                err = np.abs(y0 - ye).max() / max(1.0, np.abs(ye).max())
+                assert err < 1e-3, err
 
-            # slope timing: dispatch/tunnel cost is per-program and cancels
-            times = {K1: [], K2: []}
-            for K in (K1, K2):
-                chains[K](x0, K).block_until_ready()  # compile
-                for _ in range(trials):
-                    t0 = time.perf_counter()
-                    chains[K](x0, K).block_until_ready()
-                    times[K].append(time.perf_counter() - t0)
-            per = (np.median(times[K2]) - np.median(times[K1])) / (K2 - K1)
+                # slope timing: dispatch/tunnel cost is per-program and cancels
+                times = {K1: [], K2: []}
+                for K in (K1, K2):
+                    chains[K](x0, K).block_until_ready()  # compile
+                    for _ in range(trials):
+                        t0 = time.perf_counter()
+                        chains[K](x0, K).block_until_ready()
+                        times[K].append(time.perf_counter() - t0)
+                per = (np.median(times[K2]) - np.median(times[K1])) / (K2 - K1)
 
-            it = 2 if dtype == jnp.bfloat16 else 4
-            slot_bytes = n_rb * KB * (TM * TN + B * TN) * it
-            flops = 2 * n_rb * KB * B * TM * TN
-            print("[pallas-%s] B=%4d  %7.3f ms/call  %6.1f GB/s slot-DMA  "
-                  "%6.2f TFLOP/s  err %.2g"
-                  % (name, B, 1e3 * per, slot_bytes / per / 1e9,
-                     flops / per / 1e12, err),
-                  flush=True)
+                it = 2 if dtype == jnp.bfloat16 else 4
+                # slot-equivalent bytes: the naive roofline every slot-walk
+                # pays (one tile + one x block per slot) — the figure of merit
+                # vs the workload definition.  physical bytes: what the
+                # variant actually moves through HBM (xres reads x ONCE).
+                slot_bytes = n_rb * KB * (TM * TN + B * TN) * it
+                phys_bytes = slot_bytes if kname == "hbm" else \
+                    n_rb * KB * TM * TN * it + B * n_cb * TN * it
+                flops = 2 * n_rb * KB * B * TM * TN
+                print("[pallas-%s-%s] B=%4d  %7.3f ms/call  %6.1f GB/s phys  "
+                      "%6.1f GB/s slot-equiv  %6.2f TFLOP/s  err %.2g"
+                      % (name, kname, B, 1e3 * per, phys_bytes / per / 1e9,
+                         slot_bytes / per / 1e9, flops / per / 1e12, err),
+                      flush=True)
 
 
 if __name__ == "__main__":

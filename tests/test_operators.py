@@ -386,6 +386,69 @@ def test_periodic_block_ell_matvec_interpret():
     assert np.abs(y - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
 
 
+def test_block_ell_xres_kernel_interpret():
+    """x-VMEM-resident slot kernel vs numpy reference in interpret mode
+    (one tile DMA per slot; picked by BlockSparseOp when x fits VMEM)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import block_ell_matmul_xres
+
+    rng = np.random.default_rng(5)
+    TM = TN = 128
+    n_rb, KB, n_uniq, B = 11, 3, 9, 8  # 11 rows: exercises GROUP padding
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    tile_ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    col_blk = rng.integers(0, n_rb, size=(n_rb, KB)).astype(np.int32)
+    x = rng.standard_normal((B, n_rb * TN)).astype(np.float32)
+
+    y = np.asarray(block_ell_matmul_xres(
+        jnp.asarray(x), jnp.asarray(tiles), jnp.asarray(tile_ids),
+        jnp.asarray(col_blk), n_rb * TM, interpret=True))
+    ref = np.zeros((B, n_rb * TM), np.float32)
+    for r in range(n_rb):
+        for k in range(KB):
+            ref[:, r*TM:(r+1)*TM] += \
+                x[:, col_blk[r, k]*TN:(col_blk[r, k]+1)*TN] @ tiles[tile_ids[r, k]].T
+    assert np.abs(y[:, :n_rb*TM] - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
+
+
+def test_periodic_kernel_multigroup_interpret():
+    """Periodic kernel with P > PGROUP (two tile-buffer groups): exercises
+    the double-buffered next-group prefetch path in _periodic_kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import periodic_block_ell_matvec, PGROUP
+
+    rng = np.random.default_rng(9)
+    TM = TN = 128
+    P, R, KB, n_uniq, s = PGROUP + 4, 3, 2, 11, 1  # P=12 -> n_grp=2, NGB=2
+    n_rb = s + P * R
+    n_cb = 5
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    for j in range(1, R):
+        ids[s + j * P:s + (j + 1) * P] = ids[s:s + P]
+    cols = rng.integers(0, n_cb, size=(n_rb, KB)).astype(np.int32)
+    B = 8
+    x = rng.standard_normal((B, n_cb * TN)).astype(np.float32)
+
+    y = np.asarray(periodic_block_ell_matvec(
+        jnp.asarray(x), jnp.asarray(tiles), jnp.asarray(ids),
+        jnp.asarray(cols), s, P, R, interpret=True))
+    ref = np.zeros((B, P * R * TM), dtype=np.float32)
+    for r in range(P * R):
+        for k in range(KB):
+            tid = ids[s + r, k]
+            if tid == 0:
+                continue
+            cb = cols[s + r, k]
+            ref[:, r * TM:(r + 1) * TM] += \
+                x[:, cb * TN:(cb + 1) * TN] @ tiles[tid].T
+    assert np.abs(y - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
 def test_periodic_apply_uses_kernel_when_forced():
     """BlockSparseOp.apply routes the periodic mid-section through the
     tile-resident kernel when USE_PALLAS='always' and stays numerically equal
