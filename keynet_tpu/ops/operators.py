@@ -424,14 +424,17 @@ class BlockSparseOp(LinearOp):
         B = xb.shape[0]
         TM, TN = self.tileshape
         if self._pallas_ok(B, TM, TN):
-            from .pallas_kernels import block_ell_matmul, block_ell_matmul_xres
+            from .pallas_kernels import block_ell_matmul, block_ell_matmul_xres2
             sub = 8 if x.dtype == jnp.float32 else 16  # sublane alignment
             pad_b = (-B) % sub
             xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-            # x-resident variant when the whole padded x fits the VMEM
-            # budget: one tile DMA per slot instead of tile+x (the HBM
-            # kernel is scalar-core DMA-issue-bound), and x leaves HBM once
-            kfn = block_ell_matmul_xres if self._pallas_xres_ok(
+            # pair-depth x-resident variant when the whole padded x fits the
+            # VMEM budget: x leaves HBM once, and two slots of a row-block
+            # fuse into one (B, 2TN)x(TM, 2TN) dot — the per-slot floor is
+            # dot-issue overhead, not DMA (measured: bf16 halves the bytes
+            # but not the time; pairing reaches the single-pass dot theory,
+            # scripts/bench_pallas_kernel.py)
+            kfn = block_ell_matmul_xres2 if self._pallas_xres_ok(
                 xp.shape[0], xp.shape[1], TM, TN) else block_ell_matmul
             y = kfn(xp, self.tiles, self.tile_ids[a:b],
                     self.col_blk[a:b], (b - a) * TM)
@@ -554,11 +557,12 @@ class BlockSparseOp(LinearOp):
         return vmem <= 12 * (1 << 20)
 
     def _pallas_xres_ok(self, Bp, n_cols, TM, TN):
-        """Whether the x-VMEM-resident slot kernel fits: the whole padded x
-        plus the tile pipeline and the output block within the VMEM budget."""
+        """Whether the x-VMEM-resident pair-depth slot kernel fits: the whole
+        padded x plus the paired tile pipeline (NBUF buffers of (TM, 2TN))
+        and the output block within the VMEM budget."""
         from .pallas_kernels import GROUP, NBUF
         it = self.tiles.dtype.itemsize
-        vmem = it * (Bp * n_cols + NBUF * TM * TN) + 4 * Bp * GROUP * TM
+        vmem = it * (Bp * n_cols + NBUF * TM * 2 * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
     def row_shard_plan(self, tp):

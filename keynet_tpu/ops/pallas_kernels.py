@@ -222,6 +222,166 @@ def block_ell_matmul_xres(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     return y[:, :n_out_padded]
 
 
+def _kernel_xres2(tile_ids_ref, col_blk_ref,  # SMEM (GROUP, KBP) padded-even
+                  x_vmem, tiles_hbm,
+                  out_ref, t_buf, sems, precision):
+    """Pair-depth x-resident slot walk: two slots of the same row-block fuse
+    into ONE (B, 2TN) x (TM, 2TN) dot — the measured ~0.3 us/slot floor is
+    dot-issue/accumulate overhead, not DMA (bf16 halves the bytes but not the
+    time), so doubling the contraction depth amortizes it over two slots.
+    KB is padded to even with zero slots (tile 0 contributes exact zeros)."""
+    KBP = tile_ids_ref.shape[1]
+    TN = t_buf.shape[2] // 2
+    TM = t_buf.shape[1]
+    pairs = GROUP * (KBP // 2)
+
+    def copies(sp, buf):
+        j, q = sp // (KBP // 2), sp % (KBP // 2)
+        t1 = tile_ids_ref[j, 2 * q]
+        t2 = tile_ids_ref[j, 2 * q + 1]
+        return (pltpu.make_async_copy(tiles_hbm.at[t1],
+                                      t_buf.at[buf, :, pl.ds(0, TN)],
+                                      sems.at[0, buf]),
+                pltpu.make_async_copy(tiles_hbm.at[t2],
+                                      t_buf.at[buf, :, pl.ds(TN, TN)],
+                                      sems.at[1, buf]))
+
+    for s0 in range(NBUF - 1):
+        @pl.when(s0 < pairs)
+        def _(s0=s0):
+            c1, c2 = copies(s0, s0 % NBUF)
+            c1.start()
+            c2.start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(sp, _):
+        buf = sp % NBUF
+
+        @pl.when(sp + NBUF - 1 < pairs)
+        def _():
+            n1, n2 = copies(sp + NBUF - 1, (sp + NBUF - 1) % NBUF)
+            n1.start()
+            n2.start()
+
+        c1, c2 = copies(sp, buf)
+        c1.wait()
+        c2.wait()
+        j, q = sp // (KBP // 2), sp % (KBP // 2)
+
+        @pl.when((tile_ids_ref[j, 2 * q] > 0) | (tile_ids_ref[j, 2 * q + 1] > 0))
+        def _():
+            cb1 = col_blk_ref[j, 2 * q]
+            cb2 = col_blk_ref[j, 2 * q + 1]
+            xc = jnp.concatenate(
+                [x_vmem[:, pl.ds(cb1 * TN, TN)],
+                 x_vmem[:, pl.ds(cb2 * TN, TN)]], axis=1)
+            out_ref[:, pl.ds(j * TM, TM)] += jax.lax.dot_general(
+                xc, t_buf[buf],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        return 0
+
+    jax.lax.fori_loop(0, pairs, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_padded", "interpret"))
+def block_ell_matmul_xres2(x_padded, tiles, tile_ids, col_blk, n_out_padded,
+                           interpret=False):
+    """Pair-depth variant of block_ell_matmul_xres (same contract)."""
+    B = x_padded.shape[0]
+    n_rb, KB = tile_ids.shape
+    TM, TN = tiles.shape[1], tiles.shape[2]
+    n_grp = -(-n_rb // GROUP)
+    pad_r = n_grp * GROUP - n_rb
+    pad_k = KB % 2
+    if pad_r or pad_k:
+        tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, pad_k)))
+        col_blk = jnp.pad(col_blk, ((0, pad_r), (0, pad_k)))
+    from ..globals import precision as _prec
+    dt = tiles.dtype
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_xres2, precision=prec)
+    KBP = KB + pad_k
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_grp,),
+        in_specs=[
+            pl.BlockSpec((GROUP, KBP), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, KBP), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, GROUP * TM), lambda r: (0, r),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TM, 2 * TN), dt),
+            pltpu.SemaphoreType.DMA((2, NBUF)),
+        ],
+        interpret=interpret,
+    )(tile_ids, col_blk, x_padded.astype(dt), tiles)
+    return y[:, :n_out_padded]
+
+
+def _kernel_grid(ids_ref, cb_ref,   # scalar-prefetch (n_rb, KB) index arrays
+                 x_blk,             # VMEM (B, TN): x block col_blk[r,k], pipelined
+                 tile_blk,          # VMEM (1, TM, TN): tiles[tile_ids[r,k]], pipelined
+                 out_blk,           # VMEM (B, TM): row-block r, revisited over k
+                 precision):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_blk[...] = jnp.zeros_like(out_blk)
+
+    @pl.when(ids_ref[pl.program_id(0), k] > 0)  # tile 0 = zero padding
+    def _():
+        out_blk[...] += jax.lax.dot_general(
+            x_blk[...], tile_blk[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_padded", "interpret"))
+def block_ell_matmul_grid(x_padded, tiles, tile_ids, col_blk, n_out_padded,
+                          interpret=False):
+    """Grid-pipelined slot walk (same contract as block_ell_matmul): the grid
+    is (n_rb, KB) and the tile / x-block DMAs are driven by scalar-prefetched
+    index maps, so Mosaic's own pipeline does the double-buffering, overlaps
+    output write-back, and SKIPS the copy when consecutive steps reference
+    the same tile id (free dedup for periodic/grouped real layers).  The
+    hand-rolled DMA variants pay ~0.25 us/slot of scalar-core descriptor
+    issue + loop overhead regardless of dtype; this one leaves all of that
+    to the pipeline machinery."""
+    B = x_padded.shape[0]
+    n_rb, KB = tile_ids.shape
+    TM, TN = tiles.shape[1], tiles.shape[2]
+    from ..globals import precision as _prec
+    dt = tiles.dtype
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_grid, precision=prec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rb, KB),
+        in_specs=[
+            pl.BlockSpec((B, TN), lambda r, k, ids, cb: (0, cb[r, k]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, TN), lambda r, k, ids, cb: (ids[r, k], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TM), lambda r, k, ids, cb: (0, r),
+                               memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, n_rb * TM), jnp.float32),
+        interpret=interpret,
+    )(tile_ids, col_blk, x_padded.astype(dt), tiles)
+    return y[:, :n_out_padded]
+
+
 PGROUP = 8  # period rows per grid step (TPU SMEM blocks need 8-row alignment)
 
 

@@ -28,7 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from keynet_tpu.ops.pallas_kernels import (block_ell_matmul,
-                                               block_ell_matmul_xres)
+                                               block_ell_matmul_xres,
+                                               block_ell_matmul_xres2,
+                                               block_ell_matmul_grid)
 
     assert jax.default_backend() == "tpu", "run on the TPU box"
     rng = np.random.default_rng(0)
@@ -43,14 +45,20 @@ def main():
     tile_ids = rng.integers(1, n_uniq, size=(n_rb, KB)).astype(np.int32)
     col_blk = rng.integers(0, n_cb, size=(n_rb, KB)).astype(np.int32)
 
-    K1, K2, trials = 4, 36, 5
+    # chain lengths: the K2-K1 delta must dwarf the tunnel's ~34 ms roundtrip
+    # jitter (K2-K1=32 gave >HBM-peak readings at fast configs — pure noise);
+    # 256 extra calls x >=0.07 ms/call >= 18 ms of real device delta, and the
+    # median over 7 trials rejects the host's 3x wall-clock weather
+    K1, K2, trials = 8, 264, 7
     for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         t_dev = jnp.asarray(tiles, dtype=dtype)
         ids_dev = jnp.asarray(tile_ids)
         cb_dev = jnp.asarray(col_blk)
 
         for kfn, kname in ((block_ell_matmul, "hbm"),
-                           (block_ell_matmul_xres, "xres")):
+                           (block_ell_matmul_xres, "xres"),
+                           (block_ell_matmul_xres2, "xres2"),
+                           (block_ell_matmul_grid, "grid")):
             def chain(x, K, kfn=kfn):
                 def body(i, x):
                     return kfn(x, t_dev, ids_dev, cb_dev, n_rb * TM)
@@ -88,8 +96,8 @@ def main():
                 # vs the workload definition.  physical bytes: what the
                 # variant actually moves through HBM (xres reads x ONCE).
                 slot_bytes = n_rb * KB * (TM * TN + B * TN) * it
-                phys_bytes = slot_bytes if kname == "hbm" else \
-                    n_rb * KB * TM * TN * it + B * n_cb * TN * it
+                phys_bytes = n_rb * KB * TM * TN * it + B * n_cb * TN * it \
+                    if kname in ("xres", "xres2") else slot_bytes
                 flops = 2 * n_rb * KB * B * TM * TN
                 print("[pallas-%s-%s] B=%4d  %7.3f ms/call  %6.1f GB/s phys  "
                       "%6.1f GB/s slot-equiv  %6.2f TFLOP/s  err %.2g"

@@ -413,6 +413,35 @@ def test_block_ell_xres_kernel_interpret():
     assert np.abs(y[:, :n_rb*TM] - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
 
 
+def test_block_ell_xres2_and_grid_kernels_interpret():
+    """Pair-depth x-resident kernel (odd-KB padding) and grid-pipelined
+    kernel vs the numpy reference in interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import (block_ell_matmul_xres2,
+                                               block_ell_matmul_grid)
+
+    rng = np.random.default_rng(7)
+    TM = TN = 128
+    n_rb, KB, n_uniq, B = 11, 3, 9, 8  # odd KB: exercises pair padding
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    tile_ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    col_blk = rng.integers(0, n_rb, size=(n_rb, KB)).astype(np.int32)
+    x = rng.standard_normal((B, n_rb * TN)).astype(np.float32)
+    ref = np.zeros((B, n_rb * TM), np.float32)
+    for r in range(n_rb):
+        for k in range(KB):
+            ref[:, r*TM:(r+1)*TM] += \
+                x[:, col_blk[r, k]*TN:(col_blk[r, k]+1)*TN] @ tiles[tile_ids[r, k]].T
+    for kfn in (block_ell_matmul_xres2, block_ell_matmul_grid):
+        y = np.asarray(kfn(jnp.asarray(x), jnp.asarray(tiles),
+                           jnp.asarray(tile_ids), jnp.asarray(col_blk),
+                           n_rb * TM, interpret=True))
+        assert np.abs(y[:, :n_rb*TM] - ref).max() \
+            < 1e-3 * max(1.0, np.abs(ref).max()), kfn.__name__
+
+
 def test_periodic_kernel_multigroup_interpret():
     """Periodic kernel with P > PGROUP (two tile-buffer groups): exercises
     the double-buffered next-group prefetch path in _periodic_kernel."""
