@@ -1326,8 +1326,10 @@ class ChainedOp(LinearOp):
         self.shape = (self.ops[-1].shape[0], self.ops[0].shape[1])
 
     def apply(self, x):
-        for op in self.ops:
-            x = op.apply(x)
+        for j, op in enumerate(self.ops):
+            # per-link trace attribution (docs/SERVING.md breakdowns)
+            with jax.named_scope("link%d.%s" % (j, type(op).__name__)):
+                x = op.apply(x)
         return x
 
     def nnz(self):

@@ -219,13 +219,13 @@ class KeyedModel:
     def _build(self):
         if self._forward is not None:
             return
-        stages = []   # static plan: 'relu' | ('op', fused_relu_flag)
+        stages = []   # static plan: 'relu' | ('op', fused_relu_flag, name)
         ops = []
         for name, l in self._layers.items():
             if l == "relu":
                 stages.append("relu")
             else:
-                stages.append(("op", bool(l._relu)))
+                stages.append(("op", bool(l._relu), name))
                 ops.append(l.op())
 
         def run(ops_, x):
@@ -234,7 +234,11 @@ class KeyedModel:
                 if stage == "relu":
                     x = jnp.maximum(x, 0.0)
                 else:
-                    x = ops_[i].apply(x)
+                    # named_scope -> device-trace attribution per layer
+                    # (docs/SERVING.md per-link breakdowns)
+                    with jax.named_scope("%s.%s" % (
+                            stage[2], type(ops_[i]).__name__)):
+                        x = ops_[i].apply(x)
                     if stage[1]:
                         x = jnp.maximum(x, 0.0)
                     i += 1

@@ -1,17 +1,18 @@
-"""Probe: can Mosaic lower a vectorized in-kernel VMEM gather, and at what
-rate?  The stochastic VGG-224 B=1 floor is the thin EllOp factors' XLA
-gather fusions (~1.2 GB/s effective, docs/SERVING.md round 3).  If a Pallas
-kernel can gather x[cols] from a VMEM-resident x meaningfully faster, an
-ELL-apply kernel is worth building; if Mosaic refuses to lower it (or it
-runs at scalar rate), that settles the design the other way.
+"""Probe: faster B=1 ELL apply formulations on the real chip.
 
-Strategies probed (each vs the XLA jnp.take baseline):
-  a) in-kernel jnp.take of a VMEM-resident x with a VMEM index block
-  b) in-kernel x_ref[idx] vector dynamic indexing (if supported)
+The stochastic VGG-224 B=1 device floor is two thin-factor gathers
+(conv2_1.F2: 85 ms for 12.8M gathered elements from a 3.2 MB operand —
+~0.15 elem/cycle, the scalar-gather rate; see docs/SERVING.md round 4).
+At B=1 each gathered element is a lone scalar, so the VPU's 128 lanes idle.
+These probes refill the lanes: split the flat index into (row, lane) over an
+(n/128, 128) view, row-gather whole 128-lane rows (fast on TPU), and select
+the lane arithmetically.
+
+Timing: K-chained fori_loop with a data dependency (defeats the tunnel's
+identical-dispatch caching; CLAUDE.md) and slope between two K values.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/probe_ell_gather_kernel.py
 """
-import functools
 import time
 
 import numpy as np
@@ -20,75 +21,129 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
 
-    n = 802_816            # conv2_1-scale x (64*112*112), 3.2 MB f32
-    n_rows, K = 100_352, 16  # ELL: n_rows*K = 1.6M gathered elements
-    x = rng.standard_normal(n).astype(np.float32)
-    cols = rng.integers(0, n, size=(n_rows, K)).astype(np.int32)
-    vals = rng.standard_normal((n_rows, K)).astype(np.float32)
+    # conv2_1.F2 regime: square thin factor, n rows x K=16
+    n = 802_816
+    K = 16
+    cols = rng.integers(0, n, size=(n, K)).astype(np.int32)
+    vals = (rng.standard_normal((n, K)) / np.sqrt(K)).astype(np.float32)
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
-    xd = jnp.asarray(x)
     cd = jnp.asarray(cols)
     vd = jnp.asarray(vals)
+    r_idx = jnp.asarray((cols // 128).astype(np.int32))   # (n, K)
+    l_idx = jnp.asarray((cols % 128).astype(np.int32))    # (n, K)
 
-    # ---- XLA baseline: flat take + weighted reduce (EllOp small-B path) ----
-    @jax.jit
-    def xla_ell(x, cols, vals):
-        xg = jnp.take(x, cols.reshape(-1)).reshape(cols.shape)
-        return (xg * vals).sum(axis=1)
+    def v0_take(x):
+        xg = jnp.take(x, cd.reshape(-1)).reshape(n, K)
+        return jnp.einsum("nk,nk->n", xg, vd)
 
-    def timeit(f, *a, reps=20):
-        y = jax.block_until_ready(f(*a))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                y = f(*a)
-            jax.block_until_ready(y)
-            ts.append((time.perf_counter() - t0) / reps)
-        return float(np.median(ts)), y
+    def v1_rowgather_onehot(x):
+        x2 = x.reshape(n // 128, 128)
+        xr = jnp.take(x2, r_idx.reshape(-1), axis=0)      # (n*K, 128) row gather
+        oh = l_idx.reshape(-1)[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (n * K, 128), 1)
+        el = jnp.where(oh, xr, 0.0).sum(axis=1).reshape(n, K)
+        return jnp.einsum("nk,nk->n", el, vd)
 
-    t_xla, y_ref = timeit(xla_ell, xd, cd, vd)
-    nel = n_rows * K
-    print("[xla-take]   %.3f ms  %.1f Melem/s  (%.2f GB/s effective idx+val+x)"
-          % (1e3 * t_xla, nel / t_xla / 1e6, nel * 12 / t_xla / 1e9), flush=True)
+    def v2_rowgather_tala(x):
+        x2 = x.reshape(n // 128, 128)
+        xr = jnp.take(x2, r_idx.reshape(-1), axis=0)      # (n*K, 128)
+        el = jnp.take_along_axis(xr, l_idx.reshape(-1, 1), axis=1)[:, 0]
+        return jnp.einsum("nk,nk->n", el.reshape(n, K), vd)
 
-    # ---- Pallas: rows blocked, x resident in VMEM, jnp.take inside --------
-    RB = 2048  # rows per grid step
+    variants = [("v0-take", v0_take), ("v1-row+onehot", v1_rowgather_onehot),
+                ("v2-row+tala", v2_rowgather_tala)]
 
-    def kernel_take(x_ref, cols_ref, vals_ref, out_ref):
-        xv = x_ref[...]                      # (1, n) VMEM-resident
-        idx = cols_ref[...]                  # (RB, K)
-        xg = jnp.take(xv[0], idx.reshape(-1), axis=0).reshape(idx.shape)
-        out_ref[...] = (xg * vals_ref[...]).sum(axis=1, keepdims=True)
+    y_ref = None
+    K1, K2, trials = 2, 22, 5
+    for name, f in variants:
+        def chain(x, KK, f=f):
+            def body(i, x):
+                y = f(x)
+                # renormalized feedback keeps the chain data-dependent
+                return y / jnp.sqrt(jnp.mean(y * y) + 1e-9)
+            return jax.lax.fori_loop(0, KK, body, x)
+        try:
+            y1 = jax.block_until_ready(jax.jit(f)(x0))
+        except Exception as e:
+            print("[%s] FAILED: %r" % (name, str(e)[:300]), flush=True)
+            continue
+        if y_ref is None:
+            y_ref = np.asarray(y1)
+        else:
+            err = float(np.abs(np.asarray(y1) - y_ref).max())
+            assert err < 1e-4 * max(1.0, float(np.abs(y_ref).max())), (name, err)
+        chains = {KK: jax.jit(chain, static_argnums=1) for KK in (K1, K2)}
+        times = {K1: [], K2: []}
+        for KK in (K1, K2):
+            chains[KK](x0, KK).block_until_ready()
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                chains[KK](x0, KK).block_until_ready()
+                times[KK].append(time.perf_counter() - t0)
+        per = (np.median(times[K2]) - np.median(times[K1])) / (K2 - K1)
+        print("[%s] %8.3f ms/apply  %6.1f Melem/s" %
+              (name, 1e3 * per, n * K / per / 1e6), flush=True)
 
-    @jax.jit
-    def pallas_ell(x, cols, vals):
-        return pl.pallas_call(
-            kernel_take,
-            grid=(n_rows // RB,),
-            in_specs=[
-                pl.BlockSpec((1, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((RB, K), lambda r: (r, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((RB, K), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((RB, 1), lambda r: (r, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_rows, 1), jnp.float32),
-        )(x[None, :], cols, vals)[:, 0]
+    # ---- batched: transposed row-gather vs the EllOp batch paths -----------
+    # xT (n, B): each ELL entry gathers one CONTIGUOUS lane-row that serves
+    # every batch element at once; one formulation covers B=1..128.
+    def vT_rowgather(xT):
+        xr = jnp.take(xT, cd.reshape(-1), axis=0)         # (n*K, B) row gather
+        return jnp.einsum("nkb,nk->nb", xr.reshape(n, K, -1), vd)
 
-    try:
-        t_pal, y_pal = timeit(pallas_ell, xd, cd, vd)
-        err = float(jnp.abs(y_pal - y_ref).max())
-        print("[pallas-take] %.3f ms  %.1f Melem/s  err %.2g"
-              % (1e3 * t_pal, nel / t_pal / 1e6, err), flush=True)
-    except Exception as e:
-        print("[pallas-take] FAILED to lower: %r" % (str(e)[:500],), flush=True)
+    def vb_flat(xB):                                       # EllOp small-B path
+        xg = jnp.take(xB, cd.reshape(-1), axis=1).reshape(xB.shape[0], n, K)
+        return jnp.einsum("bnk,nk->bn", xg, vd)
+
+    def vb_unroll(xB):                                     # EllOp mid-B path
+        y = jnp.zeros((xB.shape[0], n), dtype=jnp.float32)
+        for k in range(K):
+            y = y + vd[:, k][None, :] * jnp.take(xB, cd[:, k], axis=1)
+        return y
+
+    for B in (1, 8, 32):
+        xB0 = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+        base = None
+        for name, f, transposed in (("vT-rowgather", vT_rowgather, True),
+                                    ("vb-flat", vb_flat, False),
+                                    ("vb-unroll", vb_unroll, False)):
+            if name == "vb-flat" and B * n * K * 4 > (512 << 20):
+                print("[B=%3d %s] skipped (gather bytes gate)" % (B, name),
+                      flush=True)
+                continue
+
+            def chain(x, KK, f=f, transposed=transposed):
+                def body(i, x):                            # carry (B, n): the
+                    if transposed:                         # net's native shape
+                        y = f(x.T).T                       # vT pays both
+                    else:                                  # boundary transposes
+                        y = f(x)
+                    return y / jnp.sqrt(jnp.mean(y * y) + 1e-9)
+                return jax.lax.fori_loop(0, KK, body, x)
+
+            y1 = np.asarray(jax.jit(f)(xB0.T if transposed else xB0))
+            y1 = y1.T if transposed else y1
+            if base is None:
+                base = y1
+            else:
+                err = np.abs(y1 - base).max()
+                assert err < 1e-4 * max(1.0, np.abs(base).max()), (name, err)
+            chains = {KK: jax.jit(chain, static_argnums=1) for KK in (K1, K2)}
+            times = {K1: [], K2: []}
+            for KK in (K1, K2):
+                chains[KK](xB0, KK).block_until_ready()
+                for _ in range(trials):
+                    t0 = time.perf_counter()
+                    chains[KK](xB0, KK).block_until_ready()
+                    times[KK].append(time.perf_counter() - t0)
+            per = (np.median(times[K2]) - np.median(times[K1])) / (K2 - K1)
+            print("[B=%3d %s] %8.3f ms/apply  (%5.2f ms/img)" %
+                  (B, name, 1e3 * per, 1e3 * per / B), flush=True)
 
 
 if __name__ == "__main__":

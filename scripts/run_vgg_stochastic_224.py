@@ -79,12 +79,12 @@ for B in [int(b) for b in args.batches.split(",")]:
           % (B, dt, B / dt, cold), flush=True)
     if args.profile:
         import jax
-        with jax.profiler.trace(args.profile):
-            for _ in range(3):
+        tdir = "%s/B%d" % (args.profile, B)  # per-batch dirs: trace_report
+        with jax.profiler.trace(tdir):       # on a specific B, not just the
+            for _ in range(3):               # most recent dump
                 yb = knet.forward(xcb)
             yb.block_until_ready()
-        print("[vgg224-stoch] trace for B=%d -> %s" % (B, args.profile),
-              flush=True)
+        print("[vgg224-stoch] trace for B=%d -> %s" % (B, tdir), flush=True)
 
 if args.save:
     from keynet_tpu.serialize import save_keynet

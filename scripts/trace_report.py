@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--strip-ids", action="store_true", default=True,
                     help="merge ops differing only in trailing .N ids")
+    ap.add_argument("--scopes", type=int, default=0,
+                    help="aggregate by the first N components of the jax "
+                         "named_scope path (event args tf_op/name) instead "
+                         "of the HLO op name")
     args = ap.parse_args()
 
     path = find_trace(args.trace_dir)
@@ -63,6 +67,14 @@ def main():
             continue
         name = e.get("name", "?")
         dur = float(e.get("dur", 0.0))  # microseconds
+        if args.scopes:
+            # the xplane->trace conversion carries the framework op path
+            # (jit(run)/layername.OpClass/...) in args; aggregate by its
+            # leading components for per-layer/per-link tables
+            a = e.get("args", {}) or {}
+            path = a.get("tf_op") or a.get("name") or ""
+            if path:
+                name = "/".join(path.split("/")[:args.scopes])
         if args.strip_ids:
             name = re.sub(r"[.\d]+$", "", name)
         per_op[name] += dur
