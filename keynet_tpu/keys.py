@@ -571,7 +571,7 @@ def keygen(shape, global_geometric="identity", local_geometric="identity",
     fused_Ainv = None
     if ginv_inner is not None and Cinv is None and Pinv is None \
             and ginv_inner.nnz * (N // H) \
-            >= int(GLOBAL.get("KEYGEN_FUSE_NNZ", 50_000_000)):
+            >= int(GLOBAL.get("KEYGEN_FUSE_NNZ", 8_000_000)):
         gvec = _perm_vec(Ginv) if Ginv is not None else None
         da = _diag_affine_vec(pinv) if pinv is not None else (None, None)
         if (Ginv is None or gvec is not None) and da is not None:

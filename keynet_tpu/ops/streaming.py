@@ -904,32 +904,50 @@ def _key_blocks_identical(A, p):
     onto identical key rows), turning the periodic fast path from
     sample-verified into verified-by-construction.
     """
-    A = scipy.sparse.coo_matrix(A)
+    A = scipy.sparse.csr_matrix(A)
     n = A.shape[0] - 1
     if p <= 0 or n % p:
         return False
-    core = (A.row < n) & (A.col < n)
-    r, c, v = A.row[core], A.col[core], A.data[core]
-    b = r // p
-    if np.any(b != c // p):
+    if not A.has_sorted_indices:
+        A = A.copy()
+        A.sort_indices()
+    # CSR with sorted indices is already in (block, row-in-block, col) order,
+    # so block-0 comparison needs no COO lexsort (the lexsort over the
+    # ~1e7-1e8-entry thin factors was 148 s of the stochastic VGG-224
+    # conversion profile — ~2.8 s x 52 calls)
+    indptr, indices, data = A.indptr, A.indices, A.data
+    lens = np.diff(indptr[:n + 1])
+    last_idx = indptr[1:n + 1] - 1
+    has_bias = np.zeros(n, dtype=bool)
+    nz = lens > 0
+    has_bias[nz] = indices[last_idx[nz]] == n
+    bias = np.zeros(n, dtype=data.dtype)
+    bias[has_bias] = data[last_idx[has_bias]]
+    bv = bias.reshape(-1, p)
+    if not (bv == bv[0]).all():
         return False
-    rr, cc = r - b * p, c - b * p
-    order = np.lexsort((cc, rr, b))
-    b, rr, cc, v = b[order], rr[order], cc[order], v[order]
-    counts = np.bincount(b, minlength=n // p)
-    if not (counts == counts[0]).all():
+    core_cnt = lens - has_bias
+    cc2 = core_cnt.reshape(-1, p)
+    if not (cc2 == cc2[0]).all():   # per-row counts p-periodic (aligns rows)
         return False
-    k = int(counts[0])
+    k = int(cc2[0].sum())           # core entries per block
     if k == 0:
         return True
-    rr, cc, v = rr.reshape(-1, k), cc.reshape(-1, k), v.reshape(-1, k)
-    if not ((rr == rr[0]).all() and (cc == cc[0]).all() and (v == v[0]).all()):
+    core_mask = np.ones(len(data), dtype=bool)
+    core_mask[last_idx[has_bias]] = False
+    core_mask[indptr[n]:] = False   # drop the homogeneous last row
+    ci = indices[core_mask]
+    cv = data[core_mask]
+    nblk = n // p
+    if len(ci) != nblk * k:
         return False
-    bias = np.zeros(n, dtype=A.data.dtype)
-    m = (A.col == n) & (A.row < n)
-    bias[A.row[m]] = A.data[m]
-    bv = bias.reshape(-1, p)
-    return bool((bv == bv[0]).all())
+    rows = np.repeat(np.arange(n, dtype=np.int64), core_cnt)
+    b = rows // p
+    if np.any(ci // p != b):        # core support is block-diagonal
+        return False
+    ciw = (ci - b * p).reshape(nblk, k)
+    cvw = cv.reshape(nblk, k)
+    return bool((ciw[1:] == ciw[0]).all() and (cvw[1:] == cvw[0]).all())
 
 
 def _pattern_shift(prev_pat, pat, pinned_cb):

@@ -121,18 +121,43 @@ class KeyedModel:
             while v["prevlayer"] in dropouts:
                 v["prevlayer"] = shapes[v["prevlayer"]]["prevlayer"]
 
-        # --- per-layer output keypairs ---------------------------------------
+        # --- per-layer output keypairs (LAZY + memoized) ---------------------
+        # A conv/linear immediately followed by relu never uses its own
+        # outkeypair: the folded layer takes the relu's (restricted) key as A,
+        # and the next layer's Ainv comes from the relu interface too.  Eager
+        # generation burned ~390 s of the stochastic VGG-224 conversion on
+        # dense-block inverse emissions for keypairs that were thrown away
+        # (profiled: 8 unused emit_pba_fill calls at ~49 s each).  Keys are
+        # drawn from the shared rng stream at first use, so a seeded
+        # conversion stays deterministic (order of CONSUMED interfaces).
         first = shapes["input"]["nextlayer"]
         last = shapes["output"]["prevlayer"]
-        outkeypair = {k: f_layername_to_keypair(k, v["outshape"])
-                      for k, v in shapes.items()
-                      if k not in ("input", "output") and k not in dropouts}
-        layerkey = {k: {"A": outkeypair[k][0] if (k != last or do_output_encryption) else None,
-                        "Ainv": inkey if shapes[k]["prevlayer"] == "input"
-                        else outkeypair[shapes[k]["prevlayer"]][1]}
-                    for k in outkeypair}
+        kp_names = [k for k in shapes
+                    if k not in ("input", "output") and k not in dropouts]
+        kp_cache = {}
+
+        def _outkeypair(k):
+            if k not in kp_cache:
+                kp_cache[k] = f_layername_to_keypair(k, shapes[k]["outshape"])
+            return kp_cache[k]
+
+        class _LayerKey:
+            """Lazy view of {'A': ..., 'Ainv': ...} for one layer."""
+            __slots__ = ("k",)
+
+            def __init__(self, k):
+                self.k = k
+
+            def __getitem__(self, which):
+                if which == "A":
+                    return _outkeypair(self.k)[0] \
+                        if (self.k != last or do_output_encryption) else None
+                prev = shapes[self.k]["prevlayer"]
+                return inkey if prev == "input" else _outkeypair(prev)[1]
+
+        layerkey = {k: _LayerKey(k) for k in kp_names}
         self._imagekey = inkey
-        self._embeddingkey = outkeypair[last][1] if do_output_encryption else None
+        self._embeddingkey = _outkeypair(last)[1] if do_output_encryption else None
 
         # --- walk the spec and key each layer --------------------------------
         import time as _time
