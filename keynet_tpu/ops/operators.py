@@ -902,12 +902,23 @@ class EllOp(LinearOp):
                 .reshape(B, n_out, K)
             return jnp.einsum("bnk,nk->bn", xg, self.vals,
                               preferred_element_type=jnp.float32)
-        # B > 8 (or over-budget): 128-lane padded transposed row-gather —
-        # ONE full-width gather serves every batch element; gathers are
-        # issue-rate-bound, so this costs ~flat-B=8 regardless of B<=128
-        # (measured 151 ms at B=32 vs 3x182 ms for 10-wide batch chunks —
-        # narrow-lane chunked gathers pad to sublane tiles and crawl).
-        # Row-chunked so the (rc*K, 128) transient stays bounded.
+        if B > 128 and K <= 32:
+            # very large effective batches (e.g. ChannelBroadcast pool inners
+            # at B*C ~ 2048): each per-k gather already moves full-width
+            # (B, n_out) stripes, and K passes beat ceil(B/128) chunked
+            # row-gathers (orth VGG-224 B=32 pools: 9.9 ms/img unrolled vs
+            # 15.5 with 16 row-gather chunks)
+            y = jnp.zeros((B, n_out), dtype=jnp.float32)
+            for k in range(K):
+                y = y + self.vals[:, k][None, :] * jnp.take(x, self.cols[:, k],
+                                                            axis=1)
+            return y
+        # 8 < B <= 128 (or over-budget): 128-lane padded transposed
+        # row-gather — ONE full-width gather serves every batch element;
+        # gathers are issue-rate-bound, so this costs ~flat-B=8 regardless
+        # of B<=128 (measured 151 ms at B=32 vs 3x182 ms for 10-wide batch
+        # chunks — narrow-lane chunked gathers pad to sublane tiles and
+        # crawl).  Row-chunked so the (rc*K, 128) transient stays bounded.
         parts_b = []
         for b0 in range(0, B, 128):
             xb = x[b0:b0 + 128]
