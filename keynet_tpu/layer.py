@@ -189,29 +189,37 @@ class KeyedLayer:
                 A_ = A if A is not None else _sp.identity(n_out_h, format="csr")
                 Ainv_ = Ainv if Ainv is not None else _sp.identity(n_in_h, format="csr")
                 op = None
+                # per-route child rngs: a probe that draws masks and then
+                # DECLINES must not perturb the stream the taken route reads,
+                # or seeded mask reproducibility would depend on which routes
+                # were tried (ADVICE round-4 #3).  spawn() is deterministic
+                # from the seed, so same seed -> same artifact still holds.
+                rng_kron, rng_stream = self._rng.spawn(2)
                 if GLOBAL.get("KRON_FACTORED", "auto") != "never":
                     # the Kron chain is all dense GEMMs: split with the dense
                     # Haar mask (published F2 block exactly Haar-masked)
-                    s = self._try_split(Ainv_, module, force_dense=True)
+                    s = self._try_split(Ainv_, module, force_dense=True,
+                                        rng=rng_kron)
                     op = kron_factored_keyed_conv(inshape, outshape,
                                                   params["weight"],
                                                   params["bias"], module.stride,
                                                   A_,
                                                   s[0] if s is not None else Ainv_,
-                                                  rng=self._rng)
+                                                  rng=rng_kron)
                     if op is not None and s is not None:
                         self._pending_f2 = s[1]
                 if op is None and streaming_scale:
                     # streaming route: thin Givens mask (fill = mixing is the
                     # binding constraint; keyed-interposition security)
-                    s = self._try_split(Ainv_, module, force_thin=True)
+                    s = self._try_split(Ainv_, module, force_thin=True,
+                                        rng=rng_stream)
                     if s is not None:
                         Ainv_, self._pending_f2 = s[0], s[1]
                     op = masked_keyed_conv_streaming(inshape, outshape,
                                                      params["weight"],
                                                      params["bias"],
                                                      module.stride, A_, Ainv_,
-                                                     rng=self._rng,
+                                                     rng=rng_stream,
                                                      mask_alpha=mask_alpha,
                                                      tileshape=tileshape
                                                      or DEFAULT_TILE)
@@ -293,7 +301,8 @@ class KeyedLayer:
         # big keyed matrices live on device only
         self.W = W_hom if self._nnz <= GLOBAL.get("KEEP_HOST_NNZ", 50_000_000) else None
 
-    def _try_split(self, Ainv, module, force_dense=False, force_thin=False):
+    def _try_split(self, Ainv, module, force_dense=False, force_thin=False,
+                   rng=None):
         """Split a dense-blocks inverse key behind a secret re-key, or None
         when the structure does not hold (ops.streaming.split_dense_inverse).
 
@@ -302,9 +311,12 @@ class KeyedLayer:
         the materialize path when the estimated post-mask fill stays under
         GLOBAL['MASK_DENSE_MAX_BYTES']), a thin Givens product on the
         strip-streaming route (``force_thin``) where mask fill multiplies
-        strip spgemm work and tile count."""
+        strip spgemm work and tile count.  ``rng`` overrides the layer rng
+        (route probes pass per-route children so a declined draw does not
+        perturb another route's mask stream)."""
         if not self._split_ok or Ainv is None:
             return None
+        rng = rng if rng is not None else self._rng
         from .ops.streaming import split_dense_inverse, factor_left_identical
         Ainv = scipy.sparse.csr_matrix(Ainv)
         npix = self._inshape[1] * self._inshape[2]
@@ -325,7 +337,7 @@ class KeyedLayer:
                 else Ainv.shape[0]
             est = 8 * n_out * min(q * p, Ainv.shape[1])
             dense = est <= int(GLOBAL.get("MASK_DENSE_MAX_BYTES", 64 << 20))
-        return split_dense_inverse(Ainv, divs, rng=self._rng,
+        return split_dense_inverse(Ainv, divs, rng=rng,
                                    mask_alpha=self._mask_alpha,
                                    dense_mask=dense)
 

@@ -64,6 +64,32 @@ def test_blocksparse_keeps_explicit_zero_structure():
     assert np.allclose(np.asarray(op.apply(x)), A.toarray().T)
 
 
+@pytest.mark.parametrize("B", [1, 2, 8, 9, 32, 129])
+def test_ellop_batch_regimes(B):
+    """EllOp.apply picks a different formulation per batch regime (B=1
+    lane-select row-gather, small-B flat gather, mid-B padded transposed
+    row-gather, large-B per-k unroll; ADVICE round-4 #1) — every regime must
+    reproduce the scipy matvec, including with a tiny ELL_GATHER_BYTES that
+    forces the row/batch chunking paths."""
+    from keynet_tpu.globals import GLOBAL
+    shape = (301, 157)
+    A = _random_sparse(shape, density=0.05, seed=7)
+    rng = np.random.default_rng(B)
+    x = rng.normal(size=(B, shape[1])).astype(np.float32)
+    y_ref = x @ A.toarray().T
+    op = EllOp.from_scipy(A)
+    assert np.allclose(np.asarray(op.apply(x)), y_ref, atol=1e-4)
+    old = GLOBAL.get("ELL_GATHER_BYTES")
+    GLOBAL["ELL_GATHER_BYTES"] = 1 << 14  # force row chunking / flat fallback
+    try:
+        assert np.allclose(np.asarray(op.apply(x)), y_ref, atol=1e-4)
+    finally:
+        if old is None:
+            GLOBAL.pop("ELL_GATHER_BYTES", None)
+        else:
+            GLOBAL["ELL_GATHER_BYTES"] = old
+
+
 def test_materialize_auto_selection():
     small = _random_sparse((64, 64), seed=3)
     assert isinstance(materialize(small), DenseOp)
