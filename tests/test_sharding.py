@@ -228,3 +228,57 @@ def test_dp_sharded_kron_chain_forward():
         assert np.allclose(y0, y1, atol=1e-5)
     finally:
         GLOBAL["STREAM_NNZ"] = old
+
+
+def test_tp_sharded_ell_and_repblockdiag():
+    """Row-sharded EllOp and block-sharded RepeatedBlockDiagOp (round-4
+    VERDICT #4): sharded apply == single-device apply across the EllOp batch
+    regimes, per-chip bytes drop 1/tp, and non-divisible block counts
+    decline cleanly."""
+    import scipy.sparse
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from keynet_tpu.ops.operators import EllOp, RepeatedBlockDiagOp
+    from keynet_tpu.parallel.sharding import (TpShardedEllOp,
+                                              TpShardedRepeatedBlockDiagOp)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    rng = np.random.default_rng(0)
+    A = scipy.sparse.random(333, 200, density=0.05, random_state=3,
+                            dtype=np.float32, format="csr")
+    eop = EllOp.from_scipy(A)
+    tpe = TpShardedEllOp.from_ell_op(eop, mesh, "tp")
+    assert tpe is not None
+    assert tpe.per_chip_bytes() * 2 == tpe.device_bytes()
+    for B in (1, 4, 16):
+        x = rng.normal(size=(B, 200)).astype(np.float32)
+        y0 = np.asarray(eop.apply(jnp.asarray(x)))
+        y1 = np.asarray(jax.jit(tpe.apply)(jnp.asarray(x)))
+        assert np.allclose(y0, y1, atol=1e-4), B
+    F = rng.normal(size=(5, 5)).astype(np.float32)
+    bias = rng.normal(size=40).astype(np.float32)
+    rop = RepeatedBlockDiagOp(jnp.asarray(F), jnp.asarray(bias), 40)
+    tpr = TpShardedRepeatedBlockDiagOp.from_op(rop, mesh, "tp")
+    assert tpr is not None
+    x = rng.normal(size=(3, 41)).astype(np.float32)
+    assert np.allclose(np.asarray(rop.apply(jnp.asarray(x))),
+                       np.asarray(jax.jit(tpr.apply)(jnp.asarray(x))), atol=1e-4)
+    # 3 blocks over tp=2: not divisible -> decline (replicate upstream)
+    rop3 = RepeatedBlockDiagOp(jnp.asarray(F), jnp.asarray(bias[:15]), 15)
+    assert TpShardedRepeatedBlockDiagOp.from_op(rop3, mesh, "tp") is None
+
+
+def test_replication_report_flags_unjustified():
+    """The audit lists big replicated links; justified ones carry a reason,
+    an unsharded big EllOp carries None (the dryrun asserts none remain)."""
+    import scipy.sparse
+    from keynet_tpu.ops.operators import EllOp, DirectConvOp
+    from keynet_tpu.parallel.sharding import replication_report
+    import jax.numpy as jnp
+    A = scipy.sparse.random(4000, 500, density=0.2, random_state=0,
+                            dtype=np.float32, format="csr")
+    eop = EllOp.from_scipy(A)                  # ~big index arrays, unsharded
+    rows = replication_report([eop], min_bytes=1 << 10)
+    assert rows and rows[0][3] is None
+    dc = DirectConvOp(jnp.zeros((4, 4, 3, 3)), None, (4, 8, 8), (4, 8, 8), 1)
+    rows = replication_report([dc], min_bytes=1)
+    assert rows and rows[0][3] is not None
