@@ -324,6 +324,108 @@ def block_ell_matmul_xres2(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     return y[:, :n_out_padded]
 
 
+def _kernel_xresd(tile_ids_ref, col_blk_ref,  # SMEM (GROUP, KBP) padded to D
+                  x_vmem, tiles_hbm,
+                  out_ref, t_buf, sems, precision, depth):
+    """Depth-D generalization of the pair-depth kernel (_kernel_xres2): D
+    slots of the same row-block fuse into ONE (B, D*TN) x (TM, D*TN) dot.
+    VERDICT round-4 #6 asks where the knee is — depth amortizes the ~0.07
+    us/slot issue/loop overhead over D slots but multiplies the per-step DMA
+    fan-out (D tile copies per buffer) and the VMEM tile footprint
+    (NBUF*TM*D*TN), so past the knee the pipeline stalls on DMA issue.
+    Measured sweep: scripts/bench_pallas_kernel.py --depth-sweep."""
+    KBP = tile_ids_ref.shape[1]
+    TN = t_buf.shape[2] // depth
+    TM = t_buf.shape[1]
+    steps = GROUP * (KBP // depth)
+
+    def copies(sp, buf):
+        j, q = sp // (KBP // depth), sp % (KBP // depth)
+        return [pltpu.make_async_copy(
+                    tiles_hbm.at[tile_ids_ref[j, depth * q + d]],
+                    t_buf.at[buf, :, pl.ds(d * TN, TN)],
+                    sems.at[d, buf])
+                for d in range(depth)]
+
+    for s0 in range(NBUF - 1):
+        @pl.when(s0 < steps)
+        def _(s0=s0):
+            for c in copies(s0, s0 % NBUF):
+                c.start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(sp, _):
+        buf = sp % NBUF
+
+        @pl.when(sp + NBUF - 1 < steps)
+        def _():
+            for c in copies(sp + NBUF - 1, (sp + NBUF - 1) % NBUF):
+                c.start()
+
+        for c in copies(sp, buf):
+            c.wait()
+        j, q = sp // (KBP // depth), sp % (KBP // depth)
+
+        nz = tile_ids_ref[j, depth * q] > 0
+        for d in range(1, depth):
+            nz = nz | (tile_ids_ref[j, depth * q + d] > 0)
+
+        @pl.when(nz)
+        def _():
+            xc = jnp.concatenate(
+                [x_vmem[:, pl.ds(col_blk_ref[j, depth * q + d] * TN, TN)]
+                 for d in range(depth)], axis=1)
+            out_ref[:, pl.ds(j * TM, TM)] += jax.lax.dot_general(
+                xc, t_buf[buf],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        return 0
+
+    jax.lax.fori_loop(0, steps, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out_padded", "depth",
+                                             "interpret"))
+def block_ell_matmul_xresd(x_padded, tiles, tile_ids, col_blk, n_out_padded,
+                           depth=4, interpret=False):
+    """Depth-D variant of block_ell_matmul_xres (same contract); depth=2
+    reproduces block_ell_matmul_xres2's schedule via the generic kernel."""
+    B = x_padded.shape[0]
+    n_rb, KB = tile_ids.shape
+    TM, TN = tiles.shape[1], tiles.shape[2]
+    n_grp = -(-n_rb // GROUP)
+    pad_r = n_grp * GROUP - n_rb
+    pad_k = (-KB) % depth
+    if pad_r or pad_k:
+        tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, pad_k)))
+        col_blk = jnp.pad(col_blk, ((0, pad_r), (0, pad_k)))
+    from ..globals import precision as _prec
+    dt = tiles.dtype
+    prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_kernel_xresd, precision=prec, depth=depth)
+    KBP = KB + pad_k
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_grp,),
+        in_specs=[
+            pl.BlockSpec((GROUP, KBP), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, KBP), lambda r: (r, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, GROUP * TM), lambda r: (0, r),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_grp * GROUP * TM), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TM, depth * TN), dt),
+            pltpu.SemaphoreType.DMA((depth, NBUF)),
+        ],
+        interpret=interpret,
+    )(tile_ids, col_blk, x_padded.astype(dt), tiles)
+    return y[:, :n_out_padded]
+
+
 def _kernel_grid(ids_ref, cb_ref,   # scalar-prefetch (n_rb, KB) index arrays
                  x_blk,             # VMEM (B, TN): x block col_blk[r,k], pipelined
                  tile_blk,          # VMEM (1, TM, TN): tiles[tile_ids[r,k]], pipelined

@@ -276,16 +276,18 @@ def main():
     sensor, _ = keynet.PermutationKeynet((1, 28, 28), net, seed=args.seed,
                                          do_output_encryption=True)
     truth = np.asarray(sensor.load(SECRET_IMAGE).tensor())[0, 0]
-    w_true = np.asarray(net.params["conv1"]["weight"]).reshape(16, 9)
+    w_true = np.asarray(net.params["conv1"]["weight"])
+    n_ch = w_true.shape[0]                      # LeNet conv1: 6 channels, 3x3
+    w_true = w_true.reshape(n_ch, -1)
     w_true_sets = sorted([sorted(map(float, w)) for w in w_true])
     if "recovered_image" in r:
         corr = best_dihedral_corr(r["recovered_image"], truth)
         w_match = sum(1 for a, b in zip(r["weights_recovered"], w_true_sets)
                       if np.allclose(a, b, atol=0)) if r.get(
-                          "channels_found") == 16 else 0
+                          "channels_found") == n_ch else 0
         report["permutation"] = {
             "status": r["status"], "channels_found": r["channels_found"],
-            "conv1_valuesets_exact": "%d/16" % w_match,
+            "conv1_valuesets_exact": "%d/%d" % (w_match, n_ch),
             "image_corr_best_dihedral": round(corr, 4),
             "cipher_hist_emd_vs_plain": round(hist_emd(
                 np.asarray(keynet.system.PublicKeyedSensor((1, 28, 28)).load(

@@ -468,6 +468,34 @@ def test_block_ell_xres2_and_grid_kernels_interpret():
             < 1e-3 * max(1.0, np.abs(ref).max()), kfn.__name__
 
 
+def test_block_ell_xresd_depths_interpret():
+    """Depth-D x-resident kernel (D in {2,4,8}; KB=3 exercises zero-slot
+    padding up to every depth) vs the numpy reference in interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from keynet_tpu.ops.pallas_kernels import block_ell_matmul_xresd
+
+    rng = np.random.default_rng(11)
+    TM = TN = 128
+    n_rb, KB, n_uniq, B = 11, 3, 9, 8
+    tiles = rng.standard_normal((n_uniq, TM, TN)).astype(np.float32)
+    tiles[0] = 0.0
+    tile_ids = rng.integers(0, n_uniq, size=(n_rb, KB)).astype(np.int32)
+    col_blk = rng.integers(0, n_rb, size=(n_rb, KB)).astype(np.int32)
+    x = rng.standard_normal((B, n_rb * TN)).astype(np.float32)
+    ref = np.zeros((B, n_rb * TM), np.float32)
+    for r in range(n_rb):
+        for k in range(KB):
+            ref[:, r*TM:(r+1)*TM] += \
+                x[:, col_blk[r, k]*TN:(col_blk[r, k]+1)*TN] @ tiles[tile_ids[r, k]].T
+    for depth in (2, 4, 8):
+        y = np.asarray(block_ell_matmul_xresd(
+            jnp.asarray(x), jnp.asarray(tiles), jnp.asarray(tile_ids),
+            jnp.asarray(col_blk), n_rb * TM, depth=depth, interpret=True))
+        assert np.abs(y[:, :n_rb*TM] - ref).max() \
+            < 1e-3 * max(1.0, np.abs(ref).max()), depth
+
+
 def test_periodic_kernel_multigroup_interpret():
     """Periodic kernel with P > PGROUP (two tile-buffer groups): exercises
     the double-buffered next-group prefetch path in _periodic_kernel."""
