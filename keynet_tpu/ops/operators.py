@@ -22,6 +22,8 @@ All operators implement  apply(x) with x: (B, n_in) -> (B, n_out),
 i.e. y = x @ W^T, matching the reference's right-multiply convention.
 """
 
+import functools
+
 import numpy as np
 import scipy.sparse
 import jax
@@ -424,18 +426,27 @@ class BlockSparseOp(LinearOp):
         B = xb.shape[0]
         TM, TN = self.tileshape
         if self._pallas_ok(B, TM, TN):
-            from .pallas_kernels import block_ell_matmul, block_ell_matmul_xres2
+            from .pallas_kernels import (block_ell_matmul,
+                                         block_ell_matmul_xres2,
+                                         block_ell_matmul_xresd)
             sub = 8 if x.dtype == jnp.float32 else 16  # sublane alignment
             pad_b = (-B) % sub
             xp = jnp.pad(x, ((0, pad_b), (0, 0))) if pad_b else x
-            # pair-depth x-resident variant when the whole padded x fits the
-            # VMEM budget: x leaves HBM once, and two slots of a row-block
-            # fuse into one (B, 2TN)x(TM, 2TN) dot — the per-slot floor is
-            # dot-issue overhead, not DMA (measured: bf16 halves the bytes
-            # but not the time; pairing reaches the single-pass dot theory,
-            # scripts/bench_pallas_kernel.py)
-            kfn = block_ell_matmul_xres2 if self._pallas_xres_ok(
-                xp.shape[0], xp.shape[1], TM, TN) else block_ell_matmul
+            # depth-D x-resident variant when the whole padded x fits the
+            # VMEM budget: x leaves HBM once, and D slots of a row-block
+            # fuse into one (B, D*TN)x(TM, D*TN) dot — the per-slot floor is
+            # dot-issue overhead, not DMA.  Depth 4 is the measured knee
+            # (bf16 0.071 -> 0.056 us/slot over pairs; f32 0.126 -> 0.116;
+            # docs/SERVING.md round-5 sweep); rows shorter than 8 slots fall
+            # back to pairs so K-padding stays <= 1 slot.
+            KB = self.tile_ids.shape[1]
+            if KB >= 8 and self._pallas_xres_ok(xp.shape[0], xp.shape[1],
+                                                TM, TN, depth=4):
+                kfn = functools.partial(block_ell_matmul_xresd, depth=4)
+            elif self._pallas_xres_ok(xp.shape[0], xp.shape[1], TM, TN):
+                kfn = block_ell_matmul_xres2
+            else:
+                kfn = block_ell_matmul
             y = kfn(xp, self.tiles, self.tile_ids[a:b],
                     self.col_blk[a:b], (b - a) * TM)
             return y[:B]
@@ -556,13 +567,13 @@ class BlockSparseOp(LinearOp):
         vmem = it * (NBUF * Bp * TN + NBUF * TM * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
-    def _pallas_xres_ok(self, Bp, n_cols, TM, TN):
-        """Whether the x-VMEM-resident pair-depth slot kernel fits: the whole
-        padded x plus the paired tile pipeline (NBUF buffers of (TM, 2TN))
-        and the output block within the VMEM budget."""
+    def _pallas_xres_ok(self, Bp, n_cols, TM, TN, depth=2):
+        """Whether the x-VMEM-resident depth-``depth`` slot kernel fits: the
+        whole padded x plus the fused tile pipeline (NBUF buffers of
+        (TM, depth*TN)) and the output block within the VMEM budget."""
         from .pallas_kernels import GROUP, NBUF
         it = self.tiles.dtype.itemsize
-        vmem = it * (Bp * n_cols + NBUF * TM * 2 * TN) + 4 * Bp * GROUP * TM
+        vmem = it * (Bp * n_cols + NBUF * TM * depth * TN) + 4 * Bp * GROUP * TM
         return vmem <= 12 * (1 << 20)
 
     def row_shard_plan(self, tp):
