@@ -42,6 +42,7 @@ Results land in docs/DESIGN.md §7 (measured attack results).
 """
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -98,8 +99,11 @@ def cluster_rows_by_valueset(Wc, k_taps=9):
 def label_taps(Wc, row2ch, ch, H, W):
     """Occurrence counts of channel ``ch``'s 9 values across its rows pin the
     tap classes: center H*W; edge-adjacent H*(W-1) / (H-1)*W; corners
-    (H-1)*(W-1).  Returns dict value -> (dy, dx) in {-1,0,1}², with the
-    orientation fixed arbitrarily (dihedral ambiguity)."""
+    (H-1)*(W-1).  Returns (center_value, [4 edge values], {4 corner values});
+    which edge value maps to which direction is NOT determined here — the
+    caller tries all 24 assignments and lets the consistency-checked grid
+    embedding reject the wrong ones (8 of the 24 survive: the dihedral
+    group of the square, the Toeplitz pattern's true automorphisms)."""
     rows = np.flatnonzero(row2ch == ch)
     counts = defaultdict(int)
     for r in rows:
@@ -114,21 +118,18 @@ def label_taps(Wc, row2ch, ch, H, W):
     corners = [v for v, c in cnt if c == c_corner]
     if len(center) != 1 or len(edges) != 4 or len(corners) != 4:
         return None
-    lab = {center[0]: (0, 0)}
-    # arbitrary orientation: assign the four edge values to E,W,N,S and fix
-    # corners afterward by row-co-occurrence consistency with the edges
-    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-    for v, d in zip(edges, dirs):
-        lab[v] = d
-    return lab, set(corners)
+    return center[0], edges, set(corners)
 
 
 def recover_grid(Wc, row2ch, ch, lab, H, W):
     """Link cipher columns through the labeled taps: in each row of channel
     ``ch``, the column holding the center value is a pixel and the column
     holding edge value with label d is its d-neighbor.  BFS-embed the
-    resulting oriented grid graph into (H, W) coordinates.  Returns pos:
-    (n_pix,) -> flat plaintext index (up to dihedral), or None."""
+    resulting oriented grid graph into (H, W) coordinates, rejecting any
+    assignment whose edges imply two different coordinates for one column
+    (this is what kills 16 of the 24 candidate direction labelings).
+    Returns pos: (n_pix,) -> flat plaintext index (up to dihedral), or
+    None."""
     rows = np.flatnonzero(row2ch == ch)
     val2dir = {v: d for v, d in lab.items() if d != (0, 0)}
     v_center = next(v for v, d in lab.items() if d == (0, 0))
@@ -155,11 +156,16 @@ def recover_grid(Wc, row2ch, ch, lab, H, W):
         p = stack.pop()
         y, x = coord[p]
         for (dy, dx), q in nbr.get(p, {}).items():
+            want = (y + dy, x + dx)
             if q not in coord:
-                coord[q] = (y + dy, x + dx)
+                coord[q] = want
                 stack.append(q)
+            elif coord[q] != want:
+                return None   # inconsistent labeling: wrong direction guess
     if len(coord) != H * W:
         return None
+    if len(set(coord.values())) != H * W:
+        return None           # two columns mapped to one pixel
     ys = [c[0] for c in coord.values()]
     xs = [c[1] for c in coord.values()]
     y0, x0 = min(ys), min(xs)
@@ -230,12 +236,20 @@ def attack(bundle_dir, inshape=(1, 28, 28)):
     res["weights_recovered"] = sorted(
         [sorted(map(float, p)) for p in protos])  # exact kernel values
     pos = None
+    dirs4 = [(0, 1), (0, -1), (1, 0), (-1, 0)]
     for ch in range(len(protos)):
         tl = label_taps(Wc, row2ch, ch, H, W)
         if tl is None:
             continue
-        lab, _ = tl
-        pos = recover_grid(Wc, row2ch, ch, lab, H, W)
+        v_center, edges, _ = tl
+        # try all 24 direction assignments; the consistency-checked BFS
+        # rejects all but the true labeling's dihedral orbit
+        for perm in itertools.permutations(edges):
+            lab = {v_center: (0, 0)}
+            lab.update(zip(perm, dirs4))
+            pos = recover_grid(Wc, row2ch, ch, lab, H, W)
+            if pos is not None:
+                break
         if pos is not None:
             res["grid_channel"] = ch
             break
