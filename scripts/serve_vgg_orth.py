@@ -56,8 +56,9 @@ for B in [int(b) for b in args.batches.split(",")]:
     print("[serve-vgg] B=%d  warm %.3fs  %.1f imgs/sec  (cold %.1fs)"
           % (B, dt, B / dt, cold), flush=True)
     if args.profile:
-        with jax.profiler.trace(args.profile):
+        tdir = "%s_B%d" % (args.profile, B)
+        with jax.profiler.trace(tdir):
             for _ in range(3):
                 yb = knet.forward(xcb)
             yb.block_until_ready()
-        print("[serve-vgg] trace for B=%d -> %s" % (B, args.profile), flush=True)
+        print("[serve-vgg] trace for B=%d -> %s" % (B, tdir), flush=True)
