@@ -129,6 +129,16 @@ def precision(p=None):
             "default": jax.lax.Precision.DEFAULT}[GLOBAL["PRECISION"]]
 
 
+def kernel_precision():
+    """precision() clamped to what Mosaic's in-kernel dot lowering supports:
+    HIGH (bf16x3) has no Pallas lowering rule, so the kernels round it up to
+    HIGHEST — the kernels are a small share of a 'high'-mode forward and the
+    clamp keeps them on the conservative side of the accuracy contract."""
+    import jax
+    p = precision()
+    return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH else p
+
+
 def backend():
     """The compute backend for keyed inference (the reference returned 'scipy')."""
     return "jax"

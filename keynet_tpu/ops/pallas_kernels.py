@@ -104,7 +104,7 @@ def block_ell_matmul(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     if pad_r:
         tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, 0)))  # pad rows hit tile 0
         col_blk = jnp.pad(col_blk, ((0, pad_r), (0, 0)))
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype  # f32 or bf16 (bf16 halves tile+x DMA; f32 accumulation)
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_kernel, precision=prec)
@@ -197,7 +197,7 @@ def block_ell_matmul_xres(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     if pad_r:
         tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, 0)))
         col_blk = jnp.pad(col_blk, ((0, pad_r), (0, 0)))
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_kernel_xres, precision=prec)
@@ -298,7 +298,7 @@ def block_ell_matmul_xres2(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     if pad_r or pad_k:
         tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, pad_k)))
         col_blk = jnp.pad(col_blk, ((0, pad_r), (0, pad_k)))
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_kernel_xres2, precision=prec)
@@ -400,7 +400,7 @@ def block_ell_matmul_xresd(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     if pad_r or pad_k:
         tile_ids = jnp.pad(tile_ids, ((0, pad_r), (0, pad_k)))
         col_blk = jnp.pad(col_blk, ((0, pad_r), (0, pad_k)))
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_kernel_xresd, precision=prec, depth=depth)
@@ -459,7 +459,7 @@ def block_ell_matmul_grid(x_padded, tiles, tile_ids, col_blk, n_out_padded,
     B = x_padded.shape[0]
     n_rb, KB = tile_ids.shape
     TM, TN = tiles.shape[1], tiles.shape[2]
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_kernel_grid, precision=prec)
@@ -563,7 +563,7 @@ def periodic_block_ell_matvec(x_padded, tiles, tile_ids, col_blk, s, P, R,
     ids_mid = jnp.pad(tile_ids[s:s + P], ((0, P8 - P), (0, 0)))
     cols_mid = jnp.pad(col_blk[s:s + P * R].reshape(R, P, KB),
                        ((0, 0), (0, P8 - P), (0, 0)))
-    from ..globals import precision as _prec
+    from ..globals import kernel_precision as _prec
     dt = tiles.dtype
     prec = _prec() if dt == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_periodic_kernel, precision=prec)
